@@ -121,3 +121,67 @@ def make_genome_files(tmpdir) -> dict:
         "gff": write_gff3(os.path.join(base, "genome.gff3")),
         "gaf": write_gaf(os.path.join(base, "genome.gaf")),
     }
+
+
+# --------------------------------------------------------------------------- #
+# synthetic Pf-style diploid VCF over contig 1
+# --------------------------------------------------------------------------- #
+VCF_SAMPLES = ["S1", "S2", "S3", "S4"]
+
+
+def vcf_variant_specs():
+    """The synthetic variant records: (pos0, ref, alt(s), genotypes).
+
+    Genotypes are (gt, ad, dp, gq) per sample in VCF_SAMPLES order.
+    """
+    c1 = build_contig1()
+    return [
+        # SNP inside GENE1 CDS1 at 0-based 55 (T in the coding frame).
+        dict(contig=CONTIG_1, pos0=55, ref=c1[55], alts=[("A" if c1[55] != "A" else "G")],
+             info="AF=0.5;DP=100;VALIDATED",
+             genotypes=[("0/1", "10,12", 22, 60.0), ("1/1", "0,25", 25, 90.0),
+                        ("0/0", "30,0", 30, 99.0), ("0/1", "8,9", 17, 45.0)]),
+        # In-frame 3-base deletion in CDS2: ref c1[107:111], alt c1[107].
+        dict(contig=CONTIG_1, pos0=107, ref=c1[107:111], alts=[c1[107]],
+             info="AF=0.25;DP=80",
+             genotypes=[("0/1", "12,8", 20, 50.0), ("0/0", "28,0", 28, 99.0),
+                        ("0/0", "31,0", 31, 99.0), ("1/1", "0,18", 18, 77.0)]),
+        # Insertion of GGG after 0-based 60.
+        dict(contig=CONTIG_1, pos0=60, ref=c1[60], alts=[c1[60] + "GGG"],
+             info="AF=0.125;DP=60",
+             genotypes=[("0/0", "25,0", 25, 99.0), ("0/1", "11,9", 20, 66.0),
+                        ("0/0", "27,0", 27, 99.0), ("0/0", "22,0", 22, 99.0)]),
+        # Multi-allelic SNP outside genes at 0-based 10.
+        dict(contig=CONTIG_1, pos0=10, ref=c1[10],
+             alts=[a for a in "ACGT" if a != c1[10]][:2],
+             info="AF=0.1,0.05;DP=90",
+             genotypes=[("1/2", "5,8,7", 20, 33.0), ("0/1", "15,5", 20, 60.0),
+                        ("0/0", "30,0,0", 30, 99.0), ("0/2", "12,0,6", 18, 41.0)]),
+    ]
+
+
+def write_vcf(path: str) -> str:
+    import textwrap
+    specs = vcf_variant_specs()
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={CONTIG_1},length=400>\n")
+        f.write(f"##contig=<ID={CONTIG_2},length=300>\n")
+        f.write('##INFO=<ID=AF,Number=A,Type=Float,Description="Allele freq">\n')
+        f.write('##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">\n')
+        f.write('##INFO=<ID=VALIDATED,Number=0,Type=Flag,Description="Validated">\n')
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        f.write('##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allele depth">\n')
+        f.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">\n')
+        f.write('##FORMAT=<ID=GQ,Number=1,Type=Float,Description="Qual">\n')
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(VCF_SAMPLES) + "\n")
+        for i, spec in enumerate(specs):
+            gts = "\t".join(
+                f"{gt}:{ad}:{dp}:{gq}" for gt, ad, dp, gq in spec["genotypes"]
+            )
+            f.write(
+                f"{spec['contig']}\t{spec['pos0'] + 1}\trs{i}\t{spec['ref']}\t"
+                f"{','.join(spec['alts'])}\t100\tPASS\t{spec['info']}\tGT:AD:DP:GQ\t{gts}\n"
+            )
+    return path
