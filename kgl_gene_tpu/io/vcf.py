@@ -405,6 +405,10 @@ class PfDiploidParser(_BaseVCFParser):
 
     def parse(self, header: VCFHeader, records: Iterator[VCFRecord]) -> PopulationDB:
         genome_names = header.genome_names
+        # Pre-create every sample genome so hom-ref samples exist with zero
+        # variants (PfVCFImpl::setupPopulationStructure).
+        for name in genome_names:
+            self.population.get_create_genome(name)
         for record in records:
             self.record_count += 1
             fmt_index = {f: i for i, f in enumerate(record.format_fields)}
@@ -456,7 +460,10 @@ class PfDiploidParser(_BaseVCFParser):
                         record.line_number, len(record.alts) + 1, len(ad_counts),
                     )
                     continue
-                for allele_no in {a_allele, b_allele}:
+                # A and B alleles each add an incidence independently — a
+                # homozygous 1/1 genotype yields two identical incidences
+                # (kgl_variant_factory_pf_impl.cpp:287,336).
+                for allele_no in (a_allele, b_allele):
                     if allele_no == 0 or allele_no > len(record.alts):
                         continue
                     alt = record.alts[allele_no - 1]

@@ -221,9 +221,7 @@ class GenomeDB:
     def _map_contigs(self, fn: Callable[[ContigDB], ContigDB]) -> "GenomeDB":
         out = GenomeDB(self.genome_id, self.arena)
         for cid, contig in self.contig_map.items():
-            new = fn(contig)
-            if new.variant_count():
-                out.contig_map[cid] = new
+            out.contig_map[cid] = fn(contig)
         return out
 
 
@@ -288,9 +286,7 @@ class PopulationDB:
                      suffix: str) -> "PopulationDB":
         out = PopulationDB(self.population_id + suffix, self.data_source, self.arena)
         for gid, genome in self.genome_map.items():
-            new = genome._map_contigs(fn)
-            if new.contig_map:
-                out.genome_map[gid] = new
+            out.genome_map[gid] = genome._map_contigs(fn)
         return out
 
     def view_filter(self, filter_obj) -> "PopulationDB":

@@ -46,11 +46,11 @@ class BaseFilter:
         return genome._map_contigs(self.apply_contig)
 
     def apply_population(self, population: PopulationDB) -> PopulationDB:
+        # Empty genomes are preserved (reference viewFilter keeps every
+        # genome in the filtered population).
         out = PopulationDB(population.population_id, population.data_source, population.arena)
         for gid, genome in population.genome_map.items():
-            filtered = self.apply_genome(genome)
-            if filtered.contig_map:
-                out.genome_map[gid] = filtered
+            out.genome_map[gid] = self.apply_genome(genome)
         return out
 
     # --- combinators ------------------------------------------------------

@@ -132,22 +132,22 @@ class TestVCFIngest:
 
     def test_population_counts(self, population):
         pop, _, _ = population
-        # S3 is all hom-ref, so only 3 genomes carry variants.
-        assert pop.genome_count() == 3
-        assert pop.get_genome("S3") is None
+        # All samples are pre-created from the header (even hom-ref S3).
+        assert pop.genome_count() == 4
+        assert pop.get_genome("S3").variant_count() == 0
         # S1: SNP(0/1) + del(0/1) + multi(1/2 -> 2 alleles) = 4 incidences
         s1 = pop.get_genome("S1")
         assert s1.variant_count() == 4
         # unique alleles: snp, del, ins, multi x2 = 5
         assert len(pop.arena) == 5
 
-    def test_homozygous_single_incidence(self, population):
-        """1/1 genotypes add one incidence per distinct allele (the set
-        {A,B} in the reference parser)."""
+    def test_homozygous_double_incidence(self, population):
+        """1/1 genotypes add TWO identical incidences (A and B alleles are
+        added independently, kgl_variant_factory_pf_impl.cpp:287,336)."""
         pop, _, _ = population
         s2 = pop.get_genome("S2")
-        # S2: SNP 1/1 (one incidence), ins 0/1 -> 2 total
-        assert s2.variant_count() == 2
+        # S2: SNP 1/1 (two incidences) + ins 0/1 -> 3 total
+        assert s2.variant_count() == 3
 
     def test_info_store(self, population):
         pop, _, info = population
@@ -222,7 +222,8 @@ class TestFilters:
     def test_unique_unphased(self, population):
         pop, _, _ = population
         uniq = pop.view_filter(UniqueUnphasedFilter())
-        assert uniq.variant_count() == pop.variant_count()  # already unique per genome
+        # The two hom 1/1 double-incidences (S2 SNP, S4 del) collapse.
+        assert uniq.variant_count() == pop.variant_count() - 2
 
     def test_pass_filter(self, population):
         pop, _, _ = population
