@@ -1,0 +1,203 @@
+"""Population statistics tests: variant-major view, allele frequencies,
+inbreeding estimators (synthetic-truth regression, mirroring the
+reference's InbreedSynthetic validation), FWS, and sharded reductions on
+the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from kgl_gene_tpu.io.vcf import parse_vcf_population
+from kgl_gene_tpu.parallel.mesh import (
+    pad_to_multiple,
+    sample_mesh,
+    sharded_allele_counts,
+    sharded_het_hom,
+    sharded_inbreeding,
+)
+from kgl_gene_tpu.stats.frequency import FrequencyDatabaseRead
+from kgl_gene_tpu.stats.fws import CalcFWS, FREQUENCY_BINS
+from kgl_gene_tpu.stats.inbreeding import (
+    LocusData,
+    hall_me_f,
+    inbreeding_all,
+    loglikelihood_f,
+    ritland_f,
+    simple_f,
+    synthetic_diploid_population,
+)
+from kgl_gene_tpu.variant.columnar import VariantMajorView
+
+from fixtures import write_vcf
+
+
+@pytest.fixture(scope="module")
+def population(tmp_path_factory):
+    path = write_vcf(str(tmp_path_factory.mktemp("vcf") / "pop.vcf"))
+    pop, header, info = parse_vcf_population(path, "pop", "PF_DIPLOID")
+    return pop, info
+
+
+class TestVariantMajorView:
+    def test_zygosity_matrix(self, population):
+        pop, _ = population
+        view = VariantMajorView(pop)
+        assert view.genome_count == 4
+        assert view.variant_count == 5
+        z = view.zygosity
+        g = {gid: i for i, gid in enumerate(view.genome_ids)}
+        # S3 is hom-ref everywhere.
+        assert z[g["S3"]].sum() == 0
+        # S2 SNP at offset 55 is 1/1 -> zygosity 2.
+        snp_idx = [i for i, h in enumerate(view.hgvs) if ".55" in h.replace("g.", "g.")]
+        col = [i for i, off in enumerate(view.offsets) if off == 55][0]
+        assert z[g["S2"], col] == 2
+        assert z[g["S1"], col] == 1
+
+    def test_allele_counts(self, population):
+        pop, _ = population
+        view = VariantMajorView(pop)
+        ac = view.alt_allele_counts()
+        an = view.allele_number()
+        assert an == 8
+        col = [i for i, off in enumerate(view.offsets) if off == 55][0]
+        # S1 het (1) + S2 hom (2) + S4 het (1) = 4
+        assert ac[col] == 4
+        assert view.allele_frequencies()[col] == 0.5
+
+    def test_summaries(self, population):
+        pop, _ = population
+        view = VariantMajorView(pop)
+        col = [i for i, off in enumerate(view.offsets) if off == 55][0]
+        summary = view.summary_by_variant(col)
+        assert summary.heterozygous == 2 and summary.homozygous == 1
+        s2 = view.summary_by_genome("S2")
+        assert s2.homozygous == 1  # the 1/1 SNP
+        assert s2.heterozygous == 1  # the insert
+
+
+class TestFrequencyRead:
+    def test_dialects(self, population):
+        pop, info = population
+        freq = FrequencyDatabaseRead(info)
+        # fixture has plain AF (Number=A list) -> ALL dialect.
+        assert freq.allele_frequency("ALL", 0) == 0.5
+        assert freq.allele_frequency("ALL", 2) == 0.125
+        assert freq.allele_frequency("AFR", 0) is None
+
+
+class TestInbreedingSynthetic:
+    """Estimate known inbreeding coefficients from synthetic diploid data
+    (the reference's synthetic validation strategy)."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        truth = np.array([0.0, 0.1, 0.25, 0.5, 0.75])
+        return truth, synthetic_diploid_population(5, 20000, truth, seed=7)
+
+    def test_simple(self, data):
+        truth, locus = data
+        est = simple_f(locus)
+        np.testing.assert_allclose(est, truth, atol=0.05)
+
+    def test_ritland(self, data):
+        truth, locus = data
+        est = ritland_f(locus)
+        np.testing.assert_allclose(est, truth, atol=0.05)
+
+    def test_hall_me(self, data):
+        truth, locus = data
+        est = hall_me_f(locus)
+        np.testing.assert_allclose(est, truth, atol=0.05)
+
+    def test_loglikelihood(self, data):
+        truth, locus = data
+        est = loglikelihood_f(locus)
+        np.testing.assert_allclose(est, truth, atol=0.05)
+
+    def test_all_estimators_dict(self, data):
+        _, locus = data
+        results = inbreeding_all(locus)
+        assert set(results) == {"RitlandLocus", "Simple", "HallME", "Loglikelihood"}
+
+
+class TestFWS:
+    def test_fws_bins_and_index(self, population):
+        pop, _ = population
+        view = VariantMajorView(pop)
+        calc = CalcFWS(view)
+        assert set(calc.genome_map) == set(view.genome_ids)
+        # S3 has no variants -> FWS 1.0 (fully fixed).
+        assert calc.genome_map["S3"].fws == 1.0
+        # All FWS values within [−inf, 1]; monoclonal threshold works.
+        mono = calc.monoclonal_genomes(0.95)
+        assert "S3" in mono
+        # Per-variant summaries match the view.
+        col = [i for i, off in enumerate(view.offsets) if off == 55][0]
+        hgvs = view.hgvs[col]
+        assert calc.variant_map[hgvs].heterozygous == 2
+        assert calc.variant_map[hgvs].homozygous == 1
+
+    def test_fws_synthetic_clonal(self):
+        """A fully homozygous (clonal) sample has FWS 1; a maximally
+        heterozygous sample has low FWS."""
+        z = np.zeros((2, 100), dtype=np.uint8)
+        z[0, :] = 2          # clonal: all hom
+        z[1, :] = 1          # polyclonal: all het
+        af = np.full(100, 0.5)
+
+        class FakeView:
+            zygosity = z
+            genome_ids = ["clonal", "poly"]
+            hgvs = [f"v{i}" for i in range(100)]
+            offsets = np.arange(100)
+
+            def allele_frequencies(self):
+                return af
+
+        calc = CalcFWS(FakeView(), allele_freq=af)
+        assert calc.genome_map["clonal"].fws == 1.0
+        assert calc.genome_map["poly"].fws < 0.0  # more het than HWE
+
+    def test_csv_output(self, population, tmp_path):
+        pop, _ = population
+        calc = CalcFWS(VariantMajorView(pop))
+        gpath = tmp_path / "fws_genomes.csv"
+        vpath = tmp_path / "fws_variants.csv"
+        calc.write_genome_results(str(gpath))
+        calc.write_variant_results(str(vpath))
+        lines = gpath.read_text().strip().split("\n")
+        assert len(lines) == 5  # header + 4 genomes
+        assert lines[0].startswith("Genome,FWS")
+
+
+class TestShardedReductions:
+    def test_pad_to_multiple(self):
+        a = np.ones((5, 3))
+        padded = pad_to_multiple(a, 8, axis=0)
+        assert padded.shape == (8, 3)
+        assert padded[5:].sum() == 0
+
+    def test_sharded_allele_counts(self, population):
+        pop, _ = population
+        view = VariantMajorView(pop)
+        mesh = sample_mesh()
+        assert mesh.devices.size == 8  # virtual CPU mesh from conftest
+        ac = sharded_allele_counts(view.zygosity, mesh)
+        np.testing.assert_array_equal(ac, view.alt_allele_counts())
+
+    def test_sharded_het_hom(self, population):
+        pop, _ = population
+        view = VariantMajorView(pop)
+        mesh = sample_mesh()
+        het, hom = sharded_het_hom(view.zygosity, mesh)
+        want_het, want_hom = view.het_hom_by_variant()
+        np.testing.assert_array_equal(het, want_het)
+        np.testing.assert_array_equal(hom, want_hom)
+
+    def test_sharded_inbreeding_matches_local(self):
+        truth = np.array([0.0, 0.2, 0.4, 0.6])
+        locus = synthetic_diploid_population(4, 5000, truth, seed=3)
+        mesh = sample_mesh()
+        sharded = sharded_inbreeding(locus.zygosity, locus.minor_freq, mesh, "Simple")
+        local = simple_f(locus)
+        np.testing.assert_allclose(sharded, local, atol=1e-5)
