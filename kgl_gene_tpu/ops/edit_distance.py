@@ -79,12 +79,19 @@ def _batched_levenshtein_impl(
     b = seq_b.astype(jnp.int32)
     i_idx = jnp.arange(W, dtype=jnp.int32)  # (W,)
 
-    # diag 0: D[0,0] = 0 at i=0
-    diag_pp = jnp.where(i_idx[None, :] == 0, 0, BIG) + jnp.zeros((B, 1), jnp.int32)
-    # diag 1: D[1,0]=1 (i=1), D[0,1]=1 (i=0)
-    diag_p = jnp.where(i_idx[None, :] <= 1, 1, BIG) + jnp.zeros((B, 1), jnp.int32)
+    # Initial diagonals/results derive a zero from EVERY input so the scan
+    # carry has the same device-varying type as the data under shard_map
+    # (any operand may be the mesh-sharded one).
+    # diag 0: D[0,0]=0 at i=0; diag 1: D[1,0]=D[0,1]=1.
+    batch_zero = (
+        jnp.sum(a[:, :1] * 0, axis=1)  # safe under Ma == 0
+        + jnp.sum(b[:, :1] * 0, axis=1)
+        + len_a * 0 + len_b * 0
+    )[:, None]  # (B, 1) int32 zeros
+    diag_pp = jnp.where(i_idx[None, :] == 0, 0, BIG) + batch_zero
+    diag_p = jnp.where(i_idx[None, :] <= 1, 1, BIG) + batch_zero
 
-    result0 = jnp.where((len_a + len_b) == 0, 0, BIG)
+    result0 = jnp.where((len_a + len_b) == 0, 0, BIG) + batch_zero[:, 0]
     result1 = jnp.where((len_a + len_b) == 1, 1, result0)
 
     def step(carry, d):

@@ -1,0 +1,162 @@
+"""Pallas TPU kernel: batched exact Levenshtein via anti-diagonal wavefront.
+
+The TPU replacement for edlib's Myers bit-vector loop
+(contrib/edlib/edlib.cpp:161-316). Myers serialises on per-character
+table gathers; this kernel instead keeps THREE wavefront buffers
+(previous-previous diagonal, previous diagonal, and a rolling reversed copy
+of sequence b) resident in VMEM and updates every cell of a diagonal for a
+block of pairs in a handful of VPU ops:
+
+    cand = min(up+1, left+1, diag + (a_shifted != b_rolled))
+
+with `up`/`diag` produced by a 1-lane roll of the wavefront and `b_rolled`
+advanced by one lane per step — so the inner loop is pure (8, W)-tile
+elementwise work with NO gathers and NO HBM traffic. Result capture happens
+on the diagonal d == len_a + len_b via a masked sum.
+
+The lax.scan formulation (edit_distance.py) remains the CPU/interpret
+reference; this kernel is bit-identical to it and to textbook Levenshtein.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_batched_levenshtein"]
+
+BLOCK_B = 32  # pairs per grid step (multiple of the int32 8-sublane tile)
+
+
+def _levenshtein_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref,
+                        diag_pp, diag_p, b_roll, max_len: int, width: int):
+    """One block of BLOCK_B pairs; lanes = wavefront cells i = 0..width-1."""
+    W = width
+    M = max_len
+    BIG = jnp.int32(2 * M + 7)
+
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_B, W), 1)
+    la = len_a_ref[:, 0:1]  # (B, 1)
+    lb = len_b_ref[:, 0:1]
+
+    a = a_ref[:].astype(jnp.int32)
+    b_rev = b_ref[:].astype(jnp.int32)  # b arrives lane-REVERSED from host
+    # a_shifted[l] = a[l-1]  (cost for cell i uses a[i-1])
+    a_sh = pltpu.roll(a, 1, 1)
+    # b_roll[l] = b[(d-1-l) mod W]; init for d == 2 is roll(reverse(b), 2)
+    # (the reverse is done host-side: Pallas TPU has no rev lowering).
+    b_roll[:] = pltpu.roll(b_rev, 2, 1)
+
+    # diag 0: D[0,0] = 0; diag 1: D[1,0] = D[0,1] = 1 (others BIG).
+    diag_pp[:] = jnp.where(i_idx == 0, 0, BIG)
+    diag_p[:] = jnp.where(i_idx <= 1, 1, BIG)
+
+    # Degenerate results for len_a + len_b < 2 (captures start at d == 2).
+    out_ref[:] = jnp.where((la + lb) < 2, la + lb, 0) + jnp.zeros(
+        (BLOCK_B, 128), jnp.int32
+    )
+
+    def body(d, _):
+        j_idx = d - i_idx
+        cost = (a_sh != b_roll[:]).astype(jnp.int32)
+        up = pltpu.roll(diag_p[:], 1, 1)
+        diagv = pltpu.roll(diag_pp[:], 1, 1)
+        cand = jnp.minimum(jnp.minimum(up + 1, diag_p[:] + 1), diagv + cost)
+        cand = jnp.where(j_idx == 0, i_idx, cand)
+        cand = jnp.where(i_idx == 0, j_idx, cand)
+        invalid = (j_idx < 0) | (j_idx > M) | (i_idx > M)
+        cand = jnp.where(invalid, BIG, cand)
+
+        # Capture D[len_a, len_b] when this diagonal crosses it.
+        hit = (la + lb) == d  # (B, 1)
+        captured = jnp.sum(
+            jnp.where((i_idx == la) & hit, cand, 0), axis=1, keepdims=True
+        )  # (B, 1)
+        out_ref[:] = out_ref[:] + captured + jnp.zeros((BLOCK_B, 128), jnp.int32)
+
+        diag_pp[:] = diag_p[:]
+        diag_p[:] = cand
+        b_roll[:] = pltpu.roll(b_roll[:], 1, 1)
+        return 0
+
+    jax.lax.fori_loop(2, 2 * M + 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
+def _pallas_call(seq_a, seq_b, len_a_col, len_b_col, max_len: int,
+                 interpret: bool = False):
+    B, W = seq_a.shape
+    grid = (B // BLOCK_B,)
+    kernel = functools.partial(
+        _levenshtein_kernel, max_len=max_len, width=W
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK_B, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_B, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_B, W), jnp.int32),
+            pltpu.VMEM((BLOCK_B, W), jnp.int32),
+            pltpu.VMEM((BLOCK_B, W), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * (2 * max_len) * W, bytes_accessed=3 * B * W * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seq_a, seq_b, len_a_col, len_b_col)
+
+
+def pallas_batched_levenshtein(
+    seq_a: np.ndarray,
+    len_a: np.ndarray,
+    seq_b: np.ndarray,
+    len_b: np.ndarray,
+    interpret: bool | None = None,
+) -> np.ndarray:
+    """Batched exact Levenshtein on TPU via the wavefront kernel.
+
+    Both sequences are padded to a common lane width (multiple of 128);
+    the batch pads to a multiple of BLOCK_B. interpret=None auto-selects
+    interpreter mode off-TPU so tests run on CPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    seq_a = np.asarray(seq_a)
+    seq_b = np.asarray(seq_b)
+    len_a = np.asarray(len_a, dtype=np.int32)
+    len_b = np.asarray(len_b, dtype=np.int32)
+    B = seq_a.shape[0]
+    M = max(seq_a.shape[1], seq_b.shape[1])
+    W = ((M + 1 + 127) // 128) * 128
+    Bp = ((B + BLOCK_B - 1) // BLOCK_B) * BLOCK_B
+
+    def pad(x, cols, rows, fill=0):
+        out = np.full((rows, cols), fill, dtype=np.int32)
+        out[: x.shape[0], : x.shape[1]] = x
+        return out
+
+    a_p = pad(seq_a, W, Bp)
+    b_p = pad(seq_b, W, Bp)[:, ::-1].copy()  # kernel expects b lane-reversed
+    la = np.zeros((Bp, 128), dtype=np.int32)
+    lb = np.zeros((Bp, 128), dtype=np.int32)
+    la[:B, :] = len_a[:, None]
+    lb[:B, :] = len_b[:, None]
+
+    out = _pallas_call(
+        jnp.asarray(a_p), jnp.asarray(b_p), jnp.asarray(la), jnp.asarray(lb),
+        max_len=M, interpret=interpret,
+    )
+    return np.asarray(out)[:B, 0]

@@ -1,0 +1,182 @@
+"""The flagship device pipeline: population x transcript forward step.
+
+One fused, jittable step covering the core KGL_Gene workload
+(SURVEY.md section 3.3 "the forward pass"): for a batch of sample genomes
+against one transcript region —
+  1. apply each sample's SNPs to the replicated region (vmapped scatter),
+  2. splice exons via a precomputed gather index, strand-convert,
+  3. translate to amino acids through the codon LUT,
+  4. compute each mutant's edit distance to the reference coding sequence
+     (anti-diagonal wavefront DP),
+  5. reduce alt-allele counts over the batch.
+
+Multi-chip: the same step runs under shard_map with samples sharded over
+the mesh and the allele-count reduction merged by psum (see
+multichip_forward_step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..sequence.alphabet import DNA5
+from ..sequence.tables import amino_translation_table
+from .edit_distance import _batched_levenshtein_impl
+from .variant_apply import apply_snp_batch, gather_splice, translate_batch
+
+__all__ = ["ForwardOutputs", "make_forward_step", "make_multichip_step"]
+
+
+class ForwardOutputs(NamedTuple):
+    mutated_coding: jnp.ndarray   # (B, S) spliced mutated coding codes
+    amino: jnp.ndarray            # (B, S//3) amino codes
+    distance: jnp.ndarray         # (B,) edit distance mutant vs reference coding
+    allele_counts: jnp.ndarray    # (K_total,) alt allele counts over batch
+    valid_protein: jnp.ndarray    # (B,) bool: no internal stop & mod-3 start/stop
+
+
+def _forward(
+    region: jnp.ndarray,         # (L,) reference region codes
+    splice_index: jnp.ndarray,   # (S,) gather index into region
+    reverse_strand: bool,
+    positions: jnp.ndarray,      # (B, K) region-relative SNP positions
+    alt_codes: jnp.ndarray,      # (B, K)
+    valid: jnp.ndarray,          # (B, K)
+    amino_lut: jnp.ndarray,      # (65,)
+    complement_lut: jnp.ndarray, # (5,)
+    stop_code: int,
+    start_codes: jnp.ndarray,    # (n_start,) amino codes acceptable at pos 0
+    use_pallas: bool = False,
+) -> ForwardOutputs:
+    mutated = apply_snp_batch(region, positions, alt_codes, valid)
+    coding = gather_splice(mutated, splice_index)
+    if reverse_strand:
+        coding = complement_lut[coding[:, ::-1]]
+    amino = translate_batch(coding, amino_lut)
+
+    # Reference coding (no variants) for the distance baseline.
+    ref_coding = region[splice_index][None, :]
+    if reverse_strand:
+        ref_coding = complement_lut[ref_coding[:, ::-1]]
+    B, S = coding.shape
+    lens = jnp.full((B,), S, dtype=jnp.int32)
+    if use_pallas:
+        from .pallas_edit_distance import BLOCK_B, _pallas_call
+
+        W = ((S + 1 + 127) // 128) * 128
+        Bp = ((B + BLOCK_B - 1) // BLOCK_B) * BLOCK_B
+        a_p = jnp.zeros((Bp, W), jnp.int32).at[:B, :S].set(coding.astype(jnp.int32))
+        b_rev = jnp.zeros((Bp, W), jnp.int32).at[:B, :S].set(
+            jnp.broadcast_to(ref_coding, (B, S)).astype(jnp.int32)
+        )[:, ::-1]
+        len_col = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S)
+        distance = _pallas_call(a_p, b_rev, len_col, len_col, max_len=S)[:B, 0]
+    else:
+        distance = _batched_levenshtein_impl(
+            coding, lens, jnp.broadcast_to(ref_coding, (B, S)), lens, S, S
+        )
+
+    # Validity: starts with a start amino, ends with stop, no internal stop.
+    starts_ok = jnp.isin(amino[:, 0], start_codes)
+    ends_ok = amino[:, -1] == stop_code
+    internal_stops = jnp.sum(amino[:, :-1] == stop_code, axis=1)
+    valid_protein = starts_ok & ends_ok & (internal_stops == 0)
+
+    allele_counts = jnp.sum(valid.astype(jnp.int32), axis=0)
+    return ForwardOutputs(mutated_coding=coding, amino=amino, distance=distance,
+                          allele_counts=allele_counts, valid_protein=valid_protein)
+
+
+def make_forward_step(
+    region_codes: np.ndarray,
+    exon_intervals: np.ndarray,
+    region_start: int,
+    reverse_strand: bool = False,
+    table_name: str = "NCBI_TABLE_1",
+    use_pallas: bool = False,
+):
+    """Build a jitted forward step closed over the transcript geometry.
+
+    Returns (step_fn, static arrays dict). step_fn(positions, alt_codes,
+    valid) -> ForwardOutputs.
+    """
+    from .variant_apply import build_splice_index
+
+    table = amino_translation_table(table_name)
+    splice_index = build_splice_index(exon_intervals, region_start)
+    region = jnp.asarray(region_codes, dtype=jnp.uint8)
+    splice = jnp.asarray(splice_index, dtype=jnp.int32)
+    amino_lut = jnp.asarray(table.amino_lut, dtype=jnp.uint8)
+    complement_lut = jnp.asarray(DNA5.COMPLEMENT, dtype=jnp.uint8)
+    start_codes = jnp.asarray(
+        np.unique(table.amino_lut[table.start_lut]), dtype=jnp.uint8
+    )
+    from ..sequence.alphabet import AminoAcid
+
+    @jax.jit
+    def step(positions, alt_codes, valid):
+        return _forward(
+            region, splice, reverse_strand, positions, alt_codes, valid,
+            amino_lut, complement_lut, AminoAcid.STOP, start_codes,
+            use_pallas=use_pallas,
+        )
+
+    return step
+
+
+def make_multichip_step(
+    mesh: Mesh,
+    region_codes: np.ndarray,
+    exon_intervals: np.ndarray,
+    region_start: int,
+    reverse_strand: bool = False,
+    table_name: str = "NCBI_TABLE_1",
+):
+    """The full step under shard_map: samples sharded over the mesh axis,
+    transcript geometry replicated, allele counts psum-merged over ICI.
+
+    step(positions, alt_codes, valid, zygosity) where the batch axis of
+    every input is sharded; returns (distances sharded, allele counts
+    replicated, population AC replicated).
+    """
+    from jax import shard_map
+
+    from ..sequence.alphabet import AminoAcid
+    from .variant_apply import build_splice_index
+
+    axis = mesh.axis_names[0]
+    table = amino_translation_table(table_name)
+    region = jnp.asarray(region_codes, dtype=jnp.uint8)
+    splice = jnp.asarray(build_splice_index(exon_intervals, region_start), dtype=jnp.int32)
+    amino_lut = jnp.asarray(table.amino_lut, dtype=jnp.uint8)
+    complement_lut = jnp.asarray(DNA5.COMPLEMENT, dtype=jnp.uint8)
+    start_codes = jnp.asarray(
+        np.unique(table.amino_lut[table.start_lut]), dtype=jnp.uint8
+    )
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis), P(), P()),
+    )
+    def step(positions, alt_codes, valid, zygosity):
+        out = _forward(
+            region, splice, reverse_strand, positions, alt_codes, valid,
+            amino_lut, complement_lut, AminoAcid.STOP, start_codes,
+        )
+        # Merge per-shard allele counts and zygosity AC over the mesh.
+        allele_counts = jax.lax.psum(out.allele_counts, axis)
+        pop_ac = jax.lax.psum(
+            jnp.sum(zygosity.astype(jnp.int32), axis=0), axis
+        )
+        return out.distance, allele_counts, pop_ac
+
+    return step

@@ -1,0 +1,79 @@
+"""Device-side batched variant application and codon translation.
+
+The TPU fast path for the mutation engine (SURVEY.md section 7 "hard
+parts"): SNP application over a sample batch is a vmapped scatter into the
+replicated region sequence; translation is a gather through the 65-entry
+codon LUT. Indel-bearing samples take the exact host path
+(kgl_gene_tpu.mutation.adjusted_sequence) — on population data SNPs
+dominate, so the device path carries the throughput.
+
+Reference behaviour mirrored: AdjustedSequence SNP update
+(kgl_mutation/kgl_mutation_sequence.h:47) and Codon/TranslationTable
+indexing (kgl_sequence/kgl_sequence_codon.h:22, kgl_table.h:24).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["apply_snp_batch", "translate_batch", "splice_batch"]
+
+
+@jax.jit
+def apply_snp_batch(
+    region: jnp.ndarray,      # (L,) uint8 reference region codes
+    positions: jnp.ndarray,   # (B, K) int32 region-relative SNP offsets
+    alt_codes: jnp.ndarray,   # (B, K) uint8 alternate base codes
+    valid: jnp.ndarray,       # (B, K) bool — real SNP vs padding
+) -> jnp.ndarray:
+    """Apply per-sample SNP sets to a shared region: (B, L) mutated codes.
+
+    Padded entries scatter out-of-bounds and are dropped.
+    """
+    L = region.shape[0]
+    safe_pos = jnp.where(valid, positions, L)  # L is out of bounds -> dropped
+
+    def one(pos, alt):
+        return region.at[pos].set(alt, mode="drop")
+
+    return jax.vmap(one)(safe_pos, alt_codes)
+
+
+def build_splice_index(exon_intervals: np.ndarray, region_start: int) -> np.ndarray:
+    """Flat gather indices (region-relative) selecting spliced exon bases
+    in genome order."""
+    parts = [
+        np.arange(lo - region_start, hi - region_start, dtype=np.int32)
+        for lo, hi in exon_intervals
+    ]
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int32)
+
+
+@jax.jit
+def gather_splice(mutated: jnp.ndarray, splice_index: jnp.ndarray) -> jnp.ndarray:
+    """(B, L) x (S,) -> (B, S) spliced coding bases."""
+    return mutated[:, splice_index]
+
+
+@jax.jit
+def reverse_complement_batch(coding: jnp.ndarray, complement_lut: jnp.ndarray) -> jnp.ndarray:
+    """(B, S) -> (B, S) reverse-complemented (for '-' strand transcripts)."""
+    return complement_lut[coding[:, ::-1]]
+
+
+@jax.jit
+def translate_batch(coding: jnp.ndarray, amino_lut: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3k) coding codes -> (B, k) amino codes through the 65-entry LUT
+    (index 64 = codon containing N -> unknown 'Z')."""
+    B = coding.shape[0]
+    k = coding.shape[1] // 3
+    cod = coding[:, : 3 * k].reshape(B, k, 3).astype(jnp.int32)
+    idx = cod[..., 0] * 16 + cod[..., 1] * 4 + cod[..., 2]
+    has_n = (cod >= 4).any(axis=-1)
+    idx = jnp.where(has_n, 64, idx)
+    return amino_lut[idx]
