@@ -1,0 +1,168 @@
+"""Site likelihood via Felsenstein pruning as batched einsums.
+
+Capability parity with the kpl/BeagleLib likelihood
+(kpl_phylogenetic/kpl_likelihood.h:13,43-105): conditional-likelihood
+partials propagated up the tree. This is the one reference compute core
+that is already matmul-shaped — each pruning step is
+
+    partial[parent] *= P(t_child) @ partial[child]
+
+batched over (sites x rate categories), i.e. an (S*R, 4) x (4, 4) matmul
+per edge: exactly MXU work. The whole postorder pass is jittable; gamma
+rate mixing, proportion-invariant sites and per-site log scaling are
+applied at the root.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import SubstitutionModel
+from .tree import PhyloTree
+
+__all__ = ["leaf_partials", "log_likelihood", "TreeLikelihood"]
+
+N_STATES = 4
+# DNA5 code -> observed-state likelihood row; N (code 4) = all ones.
+_CODE_ROWS = np.vstack([np.eye(4), np.ones((1, 4))]).astype(np.float64)
+
+
+def leaf_partials(alignment_codes: np.ndarray) -> np.ndarray:
+    """(n_leaves, n_sites) uint8 codes -> (n_leaves, n_sites, 4) tip
+    partials (ambiguity 'N' = uninformative)."""
+    return _CODE_ROWS[np.clip(alignment_codes, 0, 4)]
+
+
+def log_likelihood(
+    tree: PhyloTree,
+    alignment_codes: np.ndarray,
+    model: SubstitutionModel,
+    site_weights: Optional[np.ndarray] = None,
+) -> float:
+    """Felsenstein log likelihood of an alignment on a tree (host/numpy
+    reference path; the jitted device path is TreeLikelihood)."""
+    arrays = tree.traversal_arrays()
+    n_sites = alignment_codes.shape[1]
+    rates = model.rate_categories
+    n_rates = len(rates)
+    tips = leaf_partials(alignment_codes)
+    partials = np.ones((arrays["n_nodes"], n_rates, n_sites, N_STATES))
+    partials[: tree.n_leaves] = tips[:, None, :, :]
+
+    for k in range(arrays["n_internals"]):
+        node = arrays["internal_index"][k]
+        acc = np.ones((n_rates, n_sites, N_STATES))
+        for c in range(arrays["child_index"].shape[1]):
+            child = arrays["child_index"][k, c]
+            if child < 0:
+                continue
+            P = model.transition_matrices(np.array([arrays["child_edge"][k, c]]))[0]
+            # (rates, 4, 4) x (rates, sites, 4) -> (rates, sites, 4)
+            acc = acc * np.einsum("rij,rsj->rsi", P, partials[child])
+        partials[node] = acc
+
+    pi = model.frequencies / model.frequencies.sum()
+    root = partials[arrays["root_index"]]  # (rates, sites, 4)
+    site_like = np.einsum("rsi,i->rs", root, pi).mean(axis=0)  # rate-average
+    if model.p_invariant > 0:
+        # Invariant-site mixture: constant sites get extra mass.
+        constant = _constant_site_likelihood(alignment_codes, pi)
+        site_like = (1.0 - model.p_invariant) * site_like + model.p_invariant * constant
+    weights = site_weights if site_weights is not None else np.ones(n_sites)
+    return float(np.sum(weights * np.log(np.maximum(site_like, 1e-300))))
+
+
+def _constant_site_likelihood(codes: np.ndarray, pi: np.ndarray) -> np.ndarray:
+    """P(site | invariant): pi_x if all observed states agree (N wild)."""
+    n_sites = codes.shape[1]
+    out = np.zeros(n_sites)
+    for s in range(n_sites):
+        col = codes[:, s]
+        states = set(int(c) for c in col if c < 4)
+        if len(states) == 0:
+            out[s] = 1.0
+        elif len(states) == 1:
+            out[s] = pi[states.pop()]
+    return out
+
+
+class TreeLikelihood:
+    """Jitted device likelihood for a FIXED topology: branch lengths and
+    model parameters vary (the MCMC hot path). Compile once per topology.
+
+    The update is a lax.scan over postorder internal nodes, each step a
+    (rates*sites, 4) x (4, 4) dot per child — MXU-shaped batched matmuls.
+    """
+
+    def __init__(self, tree: PhyloTree, alignment_codes: np.ndarray,
+                 n_rate_categories: int = 1):
+        self.arrays = tree.traversal_arrays()
+        self.n_leaves = tree.n_leaves
+        self.n_rates = n_rate_categories
+        self.tips = jnp.asarray(leaf_partials(alignment_codes))
+        self.n_sites = alignment_codes.shape[1]
+        # Constant-site pattern for pinvar.
+        self._codes = alignment_codes
+        self._jit_loglike = jax.jit(self._loglike)
+
+    def _loglike(self, child_P, frequencies, rate_weights, p_invariant, constant_like):
+        """child_P: (n_internals, max_children, n_rates, 4, 4) transition
+        matrices per internal node's children (precomputed host-side from
+        branch lengths — eigen is tiny)."""
+        arrays = self.arrays
+        n_nodes = arrays["n_nodes"]
+        partials = jnp.ones((n_nodes, self.n_rates, self.n_sites, N_STATES))
+        partials = partials.at[: self.n_leaves].set(
+            jnp.broadcast_to(
+                self.tips[:, None, :, :],
+                (self.n_leaves, self.n_rates, self.n_sites, N_STATES),
+            )
+        )
+        child_index = jnp.asarray(arrays["child_index"])
+        internal_index = jnp.asarray(arrays["internal_index"])
+        max_children = arrays["child_index"].shape[1]
+
+        def step(partials, k):
+            acc = jnp.ones((self.n_rates, self.n_sites, N_STATES))
+            for c in range(max_children):
+                child = child_index[k, c]
+                valid = child >= 0
+                child_partial = partials[jnp.maximum(child, 0)]
+                P = child_P[k, c]  # (rates, 4, 4)
+                lifted = jnp.einsum("rij,rsj->rsi", P, child_partial)
+                acc = acc * jnp.where(valid, lifted, 1.0)
+            partials = partials.at[internal_index[k]].set(acc)
+            return partials, 0
+
+        partials, _ = jax.lax.scan(
+            step, partials, jnp.arange(arrays["n_internals"])
+        )
+        root = partials[arrays["root_index"]]
+        site_like = jnp.einsum("rsi,i->rs", root, frequencies)
+        site_like = jnp.sum(site_like * rate_weights[:, None], axis=0)
+        site_like = (1.0 - p_invariant) * site_like + p_invariant * constant_like
+        return jnp.sum(jnp.log(jnp.maximum(site_like, 1e-300)))
+
+    def __call__(self, tree: PhyloTree, model: SubstitutionModel) -> float:
+        arrays = tree.traversal_arrays()
+        n_int, max_children = arrays["child_index"].shape
+        child_P = np.zeros((n_int, max_children, self.n_rates, 4, 4))
+        for k in range(n_int):
+            for c in range(max_children):
+                if arrays["child_index"][k, c] >= 0:
+                    child_P[k, c] = model.transition_matrices(
+                        np.array([arrays["child_edge"][k, c]])
+                    )[0]
+        pi = model.frequencies / model.frequencies.sum()
+        rate_weights = np.full(self.n_rates, 1.0 / self.n_rates)
+        constant = _constant_site_likelihood(self._codes, pi)
+        return float(
+            self._jit_loglike(
+                jnp.asarray(child_P), jnp.asarray(pi), jnp.asarray(rate_weights),
+                jnp.asarray(model.p_invariant), jnp.asarray(constant),
+            )
+        )

@@ -1,0 +1,268 @@
+"""Bayesian MCMC over trees and model parameters with heated chains.
+
+Capability parity with the kpl MCMC machinery
+(kpl_phylogenetic/kpl_mcmc_chain.h:30-83 Chain with heated-chain parallel
+tempering + swap at kpl_strom.h:61-68, and the Metropolis/updater family
+kpl_mcmc_*.h): updaters for branch lengths (scaler), tree length (whole-
+tree scaler), gamma shape, proportion invariant, state frequencies
+(Dirichlet), GTR exchangeabilities (Dirichlet), and the Larget-Simon local
+topology move; power-posterior chain heating with periodic swaps.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.logging import log
+from .likelihood import log_likelihood
+from .model import SubstitutionModel
+from .tree import PhyloNode, PhyloTree
+
+__all__ = ["ChainState", "Chain", "MCMCSampler", "UPDATER_NAMES"]
+
+UPDATER_NAMES = (
+    "branch_length", "tree_length", "gamma_shape", "p_invariant",
+    "state_freq", "exchangeability", "larget_simon",
+)
+
+
+@dataclass
+class ChainState:
+    tree: PhyloTree
+    model: SubstitutionModel
+    log_like: float = -np.inf
+
+    def copy(self) -> "ChainState":
+        model = SubstitutionModel(
+            self.model.exchangeabilities.copy(), self.model.frequencies.copy(),
+            self.model.gamma_shape, self.model.n_rate_categories,
+            self.model.p_invariant,
+        )
+        return ChainState(self.tree.copy(), model, self.log_like)
+
+
+class Chain:
+    """One (possibly heated) MCMC chain."""
+
+    def __init__(self, alignment: np.ndarray, state: ChainState,
+                 heating_power: float = 1.0, rng: Optional[random.Random] = None,
+                 updaters: Tuple[str, ...] = UPDATER_NAMES,
+                 fixed_topology: bool = False):
+        self.alignment = alignment
+        self.state = state
+        self.heating_power = heating_power
+        self.rng = rng or random.Random(0)
+        self.updaters = tuple(
+            u for u in updaters if not (fixed_topology and u == "larget_simon")
+        )
+        self.accept_counts: Dict[str, int] = {u: 0 for u in self.updaters}
+        self.try_counts: Dict[str, int] = {u: 0 for u in self.updaters}
+        self.state.log_like = log_likelihood(state.tree, alignment, state.model)
+
+    # --- proposal helpers -------------------------------------------------
+    def _metropolis(self, name: str, proposal_state: ChainState,
+                    log_hastings: float = 0.0, log_prior_ratio: float = 0.0) -> bool:
+        """Accept/reject at the chain's heating power."""
+        self.try_counts[name] += 1
+        proposal_state.log_like = log_likelihood(
+            proposal_state.tree, self.alignment, proposal_state.model
+        )
+        log_ratio = (
+            self.heating_power * (proposal_state.log_like - self.state.log_like)
+            + log_prior_ratio + log_hastings
+        )
+        if math.log(self.rng.random() + 1e-300) < log_ratio:
+            self.state = proposal_state
+            self.accept_counts[name] += 1
+            return True
+        return False
+
+    # --- updaters ---------------------------------------------------------
+    def _update_branch_length(self) -> None:
+        proposal = self.state.copy()
+        edges = proposal.tree.edges()
+        node = self.rng.choice(edges)
+        lam = 0.5
+        factor = math.exp(lam * (self.rng.random() - 0.5))
+        node.edge_length = max(node.edge_length * factor, 1e-8)
+        # exponential(10) branch-length prior.
+        prior = -10.0 * (proposal.tree.tree_length() - self.state.tree.tree_length())
+        self._metropolis("branch_length", proposal, math.log(factor), prior)
+
+    def _update_tree_length(self) -> None:
+        proposal = self.state.copy()
+        edges = proposal.tree.edges()
+        lam = 0.3
+        factor = math.exp(lam * (self.rng.random() - 0.5))
+        for node in edges:
+            node.edge_length = max(node.edge_length * factor, 1e-8)
+        hastings = len(edges) * math.log(factor)
+        prior = -10.0 * (proposal.tree.tree_length() - self.state.tree.tree_length())
+        self._metropolis("tree_length", proposal, hastings, prior)
+
+    def _update_gamma_shape(self) -> None:
+        if self.state.model.n_rate_categories <= 1:
+            return
+        proposal = self.state.copy()
+        factor = math.exp(0.5 * (self.rng.random() - 0.5))
+        proposal.model.gamma_shape = min(max(
+            self.state.model.gamma_shape * factor, 0.05), 50.0)
+        self._metropolis("gamma_shape", proposal, math.log(factor))
+
+    def _update_p_invariant(self) -> None:
+        if self.state.model.p_invariant <= 0.0:
+            return
+        proposal = self.state.copy()
+        delta = (self.rng.random() - 0.5) * 0.1
+        proposal.model.p_invariant = min(max(
+            self.state.model.p_invariant + delta, 0.0), 0.95)
+        self._metropolis("p_invariant", proposal)
+
+    def _dirichlet_proposal(self, values: np.ndarray, concentration: float = 500.0):
+        alpha = np.maximum(values * concentration, 1e-3)
+        new = np.random.dirichlet(alpha)
+        # Hastings: q(old|new) / q(new|old) under Dirichlet kernels.
+        from scipy.stats import dirichlet as _dir
+
+        alpha_new = np.maximum(new * concentration, 1e-3)
+        log_forward = _dir.logpdf(new / new.sum(), alpha)
+        log_back = _dir.logpdf(values / values.sum(), alpha_new)
+        return new, log_back - log_forward
+
+    def _update_state_freq(self) -> None:
+        proposal = self.state.copy()
+        new, hastings = self._dirichlet_proposal(self.state.model.frequencies)
+        proposal.model.frequencies = new
+        self._metropolis("state_freq", proposal, hastings)
+
+    def _update_exchangeability(self) -> None:
+        proposal = self.state.copy()
+        ex = self.state.model.exchangeabilities
+        norm = ex / ex.sum()
+        new, hastings = self._dirichlet_proposal(norm)
+        proposal.model.exchangeabilities = new * ex.sum()
+        self._metropolis("exchangeability", proposal, hastings)
+
+    def _update_larget_simon(self) -> None:
+        """Larget-Simon LOCAL move (kpl_mcmc_treeupdater.h): pick an
+        internal edge, shrink/grow the 3-edge path and possibly swap a
+        subtree across it."""
+        proposal = self.state.copy()
+        internals = [
+            n for n in proposal.tree.internal_nodes()
+            if n.parent is not None and len(n.children) >= 2
+        ]
+        if not internals:
+            return
+        node = self.rng.choice(internals)
+        parent = node.parent
+        lam = 0.2
+        factor = math.exp(lam * (self.rng.random() - 0.5))
+        node.edge_length = max(node.edge_length * factor, 1e-8)
+        # Topology change: swap one child of `node` with a sibling of `node`.
+        siblings = [c for c in parent.children if c is not node]
+        if siblings and self.rng.random() < 0.5:
+            sibling = self.rng.choice(siblings)
+            child = self.rng.choice(node.children)
+            # detach/attach
+            node.children.remove(child)
+            parent.children.remove(sibling)
+            node.children.append(sibling)
+            parent.children.append(child)
+            sibling.parent = node
+            child.parent = parent
+            proposal.tree.renumber()
+        self._metropolis("larget_simon", proposal, math.log(factor))
+
+    # --- step -------------------------------------------------------------
+    def next_step(self) -> None:
+        """One MCMC iteration: each updater fires once (Chain::nextStep)."""
+        dispatch = {
+            "branch_length": self._update_branch_length,
+            "tree_length": self._update_tree_length,
+            "gamma_shape": self._update_gamma_shape,
+            "p_invariant": self._update_p_invariant,
+            "state_freq": self._update_state_freq,
+            "exchangeability": self._update_exchangeability,
+            "larget_simon": self._update_larget_simon,
+        }
+        for updater in self.updaters:
+            dispatch[updater]()
+
+    def acceptance_rates(self) -> Dict[str, float]:
+        return {
+            u: self.accept_counts[u] / max(self.try_counts[u], 1)
+            for u in self.updaters
+        }
+
+
+class MCMCSampler:
+    """Heated-chain sampler with periodic swaps (Strom::swapChains)."""
+
+    def __init__(self, alignment: np.ndarray, initial: ChainState,
+                 n_chains: int = 1, heat_factor: float = 0.5,
+                 seed: int = 0, fixed_topology: bool = False):
+        self.chains: List[Chain] = []
+        for c in range(n_chains):
+            power = 1.0 / (1.0 + heat_factor * c)
+            self.chains.append(
+                Chain(alignment, initial.copy(), power,
+                      random.Random(seed + c), fixed_topology=fixed_topology)
+            )
+        self.rng = random.Random(seed + 1000)
+        self.swap_attempts = 0
+        self.swap_accepts = 0
+        self.samples: List[Dict] = []
+
+    @property
+    def cold_chain(self) -> Chain:
+        return next(c for c in self.chains if c.heating_power == 1.0)
+
+    def swap_chains(self) -> None:
+        if len(self.chains) < 2:
+            return
+        i, j = self.rng.sample(range(len(self.chains)), 2)
+        ci, cj = self.chains[i], self.chains[j]
+        self.swap_attempts += 1
+        log_ratio = (ci.heating_power - cj.heating_power) * (
+            cj.state.log_like - ci.state.log_like
+        )
+        if math.log(self.rng.random() + 1e-300) < log_ratio:
+            ci.state, cj.state = cj.state, ci.state
+            self.swap_accepts += 1
+
+    def run(self, iterations: int, sample_freq: int = 10,
+            swap_freq: int = 5, burn_in: int = 0) -> List[Dict]:
+        for it in range(1, iterations + 1):
+            for chain in self.chains:
+                chain.next_step()
+            if it % swap_freq == 0:
+                self.swap_chains()
+            if it > burn_in and it % sample_freq == 0:
+                cold = self.cold_chain
+                self.samples.append({
+                    "iteration": it,
+                    "log_like": cold.state.log_like,
+                    "tree_length": cold.state.tree.tree_length(),
+                    "gamma_shape": cold.state.model.gamma_shape,
+                    "frequencies": cold.state.model.frequencies.copy(),
+                    "newick": cold.state.tree.newick(),
+                })
+        return self.samples
+
+    def write_params(self, path: str) -> None:
+        """Parameter sample file (kpl_mcmc_output.h .p file analogue)."""
+        with open(path, "w") as f:
+            f.write("iteration\tlogL\tTL\talpha\tpiA\tpiC\tpiG\tpiT\n")
+            for s in self.samples:
+                pi = s["frequencies"]
+                f.write(
+                    f"{s['iteration']}\t{s['log_like']:.4f}\t{s['tree_length']:.4f}\t"
+                    f"{s['gamma_shape']:.4f}\t"
+                    + "\t".join(f"{p:.4f}" for p in pi) + "\n"
+                )

@@ -1,0 +1,213 @@
+"""Phylogenetics tests: tree IO, substitution models, likelihood (vs
+hand-computed JC69 values), MCMC sampler behaviour, NEXUS IO, strom
+driver."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from kgl_gene_tpu.phylo.likelihood import TreeLikelihood, leaf_partials, log_likelihood
+from kgl_gene_tpu.phylo.mcmc import ChainState, MCMCSampler
+from kgl_gene_tpu.phylo.model import SubstitutionModel, discrete_gamma_rates
+from kgl_gene_tpu.phylo.nexus import read_nexus, write_nexus_trees
+from kgl_gene_tpu.phylo.strom import Strom, StromConfig
+from kgl_gene_tpu.phylo.tree import parse_newick, random_tree
+from kgl_gene_tpu.sequence.alphabet import DNA5
+
+
+class TestTree:
+    def test_newick_round_trip(self):
+        text = "((a:0.1,b:0.2):0.05,c:0.3);"
+        tree = parse_newick(text)
+        assert sorted(tree.leaf_names) == ["a", "b", "c"]
+        assert abs(tree.tree_length() - 0.65) < 1e-12
+        reparsed = parse_newick(tree.newick())
+        assert reparsed.splits() == tree.splits()
+
+    def test_traversal_arrays(self):
+        tree = parse_newick("((a:0.1,b:0.2):0.05,c:0.3);")
+        arrays = tree.traversal_arrays()
+        assert arrays["n_nodes"] == 5
+        assert arrays["n_internals"] == 2
+        # Root is last in postorder numbering.
+        assert arrays["root_index"] == 4
+
+    def test_random_tree(self):
+        tree = random_tree(["t1", "t2", "t3", "t4", "t5"])
+        assert sorted(tree.leaf_names) == ["t1", "t2", "t3", "t4", "t5"]
+        assert len(tree.internal_nodes()) == 4  # bifurcating
+
+
+class TestModel:
+    def test_jc_q_matrix(self):
+        q = SubstitutionModel.jc69().q_matrix()
+        # JC: off-diagonals 1/3, diagonal -1.
+        assert abs(q[0, 1] - 1 / 3) < 1e-12
+        assert abs(q[0, 0] + 1.0) < 1e-12
+        np.testing.assert_allclose(q.sum(axis=1), 0, atol=1e-12)
+
+    def test_jc_transition_probability(self):
+        """JC69 closed form: P(same) = 1/4 + 3/4 e^{-4t/3}."""
+        model = SubstitutionModel.jc69()
+        for t in (0.01, 0.1, 1.0):
+            P = model.transition_matrices(np.array([t]))[0, 0]
+            same = 0.25 + 0.75 * math.exp(-4.0 * t / 3.0)
+            diff = 0.25 - 0.25 * math.exp(-4.0 * t / 3.0)
+            assert abs(P[0, 0] - same) < 1e-10
+            assert abs(P[0, 1] - diff) < 1e-10
+            np.testing.assert_allclose(P.sum(axis=1), 1.0, atol=1e-10)
+
+    def test_hky_rows_sum_one(self):
+        model = SubstitutionModel.hky85(4.0, np.array([0.3, 0.2, 0.2, 0.3]))
+        P = model.transition_matrices(np.array([0.5]))[0, 0]
+        np.testing.assert_allclose(P.sum(axis=1), 1.0, atol=1e-10)
+        # Detailed balance: pi_i P_ij == pi_j P_ji.
+        pi = model.frequencies
+        for i in range(4):
+            for j in range(4):
+                assert abs(pi[i] * P[i, j] - pi[j] * P[j, i]) < 1e-10
+
+    def test_discrete_gamma(self):
+        rates = discrete_gamma_rates(0.5, 4)
+        assert len(rates) == 4
+        assert abs(rates.mean() - 1.0) < 1e-9
+        assert np.all(np.diff(rates) > 0)
+        assert discrete_gamma_rates(1.0, 1)[0] == 1.0
+
+
+class TestLikelihood:
+    def test_two_taxon_jc(self):
+        """Two taxa, one site: L = sum_x pi_x P(x->a, t1) P(x->b, t2)
+        which for JC collapses to 1/4 P(a->b, t1+t2)."""
+        tree = parse_newick("(a:0.1,b:0.2);")
+        model = SubstitutionModel.jc69()
+        t = 0.3
+        same = 0.25 + 0.75 * math.exp(-4.0 * t / 3.0)
+        diff = 0.25 - 0.25 * math.exp(-4.0 * t / 3.0)
+        # identical site A/A
+        codes = np.array([[DNA5.A], [DNA5.A]], dtype=np.uint8)
+        want = math.log(0.25 * same)
+        assert abs(log_likelihood(tree, codes, model) - want) < 1e-9
+        # different site A/C
+        codes = np.array([[DNA5.A], [DNA5.C]], dtype=np.uint8)
+        want = math.log(0.25 * diff)
+        assert abs(log_likelihood(tree, codes, model) - want) < 1e-9
+
+    def test_n_is_uninformative(self):
+        tree = parse_newick("(a:0.1,b:0.2);")
+        model = SubstitutionModel.jc69()
+        codes = np.array([[DNA5.A], [DNA5.N]], dtype=np.uint8)
+        # Summing over the unknown leaf gives probability 1/4 total... i.e.
+        # site likelihood = sum_x pi_x P(x->A) = pi = 0.25.
+        assert abs(log_likelihood(tree, codes, model) - math.log(0.25)) < 1e-9
+
+    def test_jitted_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        tree = parse_newick("((a:0.1,b:0.2):0.05,(c:0.15,d:0.25):0.1);")
+        codes = rng.integers(0, 4, size=(4, 40)).astype(np.uint8)
+        model = SubstitutionModel.gtr(
+            [1.0, 2.0, 1.0, 1.0, 2.0, 1.0], [0.3, 0.2, 0.2, 0.3],
+            gamma_shape=0.7, n_rate_categories=4,
+        )
+        want = log_likelihood(tree, codes, model)
+        device = TreeLikelihood(tree, codes, n_rate_categories=4)
+        got = device(tree, model)
+        # device path is float32 — tolerance accordingly
+        assert abs(got - want) < 1e-3
+
+    def test_pinvar(self):
+        tree = parse_newick("(a:0.1,b:0.2);")
+        model = SubstitutionModel.jc69()
+        model.p_invariant = 0.3
+        codes = np.array([[DNA5.A], [DNA5.A]], dtype=np.uint8)
+        # Variable-site rates rescale by 1/(1-pinv) so the expected overall
+        # substitution rate stays 1 (the standard +I normalisation).
+        t = 0.3 / 0.7
+        same = 0.25 + 0.75 * math.exp(-4.0 * t / 3.0)
+        want = math.log(0.7 * 0.25 * same + 0.3 * 0.25)
+        assert abs(log_likelihood(tree, codes, model) - want) < 1e-9
+
+
+class TestMCMC:
+    @pytest.fixture(scope="class")
+    def alignment(self):
+        """Simulate 2-clade data so the MCMC has signal."""
+        rng = np.random.default_rng(42)
+        n_sites = 120
+        base = rng.integers(0, 4, n_sites)
+        def mutate(seq, n):
+            out = seq.copy()
+            pos = rng.choice(n_sites, n, replace=False)
+            out[pos] = (out[pos] + 1 + rng.integers(0, 3, n)) % 4
+            return out
+        a = mutate(base, 5)
+        b = mutate(base, 5)
+        c = mutate(base, 40)
+        d = mutate(c, 5)
+        return np.stack([a, b, c, d]).astype(np.uint8)
+
+    def test_sampler_improves_likelihood(self, alignment):
+        tree = random_tree(["a", "b", "c", "d"])
+        state = ChainState(tree, SubstitutionModel.jc69())
+        sampler = MCMCSampler(alignment, state, n_chains=1, seed=3)
+        initial_ll = sampler.cold_chain.state.log_like
+        sampler.run(60, sample_freq=10, burn_in=0)
+        final_ll = sampler.cold_chain.state.log_like
+        assert final_ll >= initial_ll
+        assert len(sampler.samples) == 6
+
+    def test_heated_chains_swap(self, alignment):
+        tree = random_tree(["a", "b", "c", "d"])
+        state = ChainState(tree, SubstitutionModel.jc69())
+        sampler = MCMCSampler(alignment, state, n_chains=3, heat_factor=0.4, seed=5)
+        sampler.run(30, sample_freq=10, swap_freq=2)
+        assert sampler.swap_attempts > 0
+        powers = sorted(c.heating_power for c in sampler.chains)
+        assert powers[0] < powers[-1] == 1.0
+
+
+class TestNexusAndStrom:
+    def _write_nexus(self, path, taxa, seqs, tree_text=None):
+        with open(path, "w") as f:
+            f.write("#NEXUS\nbegin data;\n")
+            f.write(f"  dimensions ntax={len(taxa)} nchar={len(seqs[0])};\n")
+            f.write("  format datatype=dna missing=? gap=-;\n  matrix\n")
+            for t, s in zip(taxa, seqs):
+                f.write(f"    {t} {s}\n")
+            f.write("  ;\nend;\n")
+            if tree_text:
+                f.write(f"begin trees;\n  tree start = [&U] {tree_text}\nend;\n")
+
+    def test_read_nexus(self, tmp_path):
+        path = str(tmp_path / "test.nex")
+        self._write_nexus(path, ["tax1", "tax2"], ["ACGTAC", "ACGTTC"],
+                          "(tax1:0.1,tax2:0.2);")
+        data = read_nexus(path)
+        assert data.taxa == ["tax1", "tax2"]
+        assert data.n_sites == 6
+        assert "start" in data.trees
+        assert sorted(data.trees["start"].leaf_names) == ["tax1", "tax2"]
+
+    def test_strom_end_to_end(self, tmp_path):
+        rng = np.random.default_rng(1)
+        base = rng.integers(0, 4, 60)
+        letters = "ACGT"
+        seqs = []
+        for i in range(3):
+            seq = base.copy()
+            pos = rng.choice(60, 6, replace=False)
+            seq[pos] = (seq[pos] + 1) % 4
+            seqs.append("".join(letters[b] for b in seq))
+        path = str(tmp_path / "data.nex")
+        self._write_nexus(path, ["s1", "s2", "s3"], seqs)
+        config = StromConfig(
+            data_file=path, n_iterations=20, sample_freq=5, burn_in=0,
+            n_chains=2, output_prefix=str(tmp_path / "out"),
+        )
+        Strom(config).execute_app()
+        assert os.path.isfile(str(tmp_path / "out.p.tsv"))
+        assert os.path.isfile(str(tmp_path / "out.t.nex"))
+        trees_back = read_nexus(str(tmp_path / "out.t.nex"))
+        assert len(trees_back.trees) == 4  # 20/5 samples
