@@ -409,11 +409,22 @@ class PfDiploidParser(_BaseVCFParser):
         # variants (PfVCFImpl::setupPopulationStructure).
         for name in genome_names:
             self.population.get_create_genome(name)
+        # Native genotype tokenizer fast path (kgl_gene_tpu.native): the
+        # per-sample GT/AD/DP/GQ split runs in C++ and only carrier samples
+        # reach Python.
+        from ..native import native_available, parse_genotypes
+
+        use_native = native_available()
         for record in records:
             self.record_count += 1
             fmt_index = {f: i for i, f in enumerate(record.format_fields)}
             gt_idx = fmt_index.get("GT")
             ad_idx = fmt_index.get("AD")
+            if use_native and gt_idx is not None and ad_idx is not None:
+                if self._parse_record_native(
+                    record, genome_names, fmt_index, parse_genotypes
+                ):
+                    continue
             if gt_idx is None or ad_idx is None:
                 log().error("Pf VCF record {}: FORMAT missing GT/AD", record.line_number)
                 continue
@@ -479,6 +490,54 @@ class PfDiploidParser(_BaseVCFParser):
                     self.population.add_variant(variant, [genome_name])
                     self.variant_count += 1
         return self.population
+
+
+    def _parse_record_native(self, record: VCFRecord, genome_names: List[str],
+                             fmt_index: Dict[str, int], parse_genotypes) -> bool:
+        """C++ tokenised genotype columns -> incidences. Returns False to
+        fall back to the Python path for this record."""
+        n_samples = len(record.genotypes)
+        if n_samples == 0 or n_samples != len(genome_names):
+            return False
+        n_alleles = len(record.alts)
+        text = "\t".join(record.genotypes).encode("ascii", "replace")
+        result = parse_genotypes(
+            text, n_samples, n_alleles,
+            fmt_index.get("GT", -1), fmt_index.get("AD", -1),
+            fmt_index.get("DP", -1), fmt_index.get("GQ", -1),
+        )
+        if result is None:
+            return False
+        gt_a, gt_b, ad, dp, gq, ad_count = result
+        info_row = self._info_row(record)
+        # Carrier mask: any non-ref allele called.
+        carriers = np.nonzero((gt_a > 0) | (gt_b > 0))[0]
+        for s in carriers:
+            s = int(s)
+            # AD must list n_alleles + 1 depths (reference parser skips the
+            # sample otherwise, kgl_variant_factory_pf_impl.cpp:255-262).
+            if int(ad_count[s]) != n_alleles + 1:
+                log().error(
+                    "Pf VCF record {}: expected {} AD depths, found {}",
+                    record.line_number, n_alleles + 1, int(ad_count[s]),
+                )
+                continue
+            for allele_no in (int(gt_a[s]), int(gt_b[s])):
+                if allele_no <= 0 or allele_no > n_alleles:
+                    continue
+                alt = record.alts[allele_no - 1]
+                ref_count = int(ad[s, 0])
+                alt_count = int(ad[s, allele_no])
+                if alt == UPSTREAM_ALLELE or (ref_count == 0 and alt_count == 0):
+                    continue
+                fmt = FormatData(ref_count, alt_count, int(dp[s]), float(gq[s]),
+                                 record.quality)
+                variant = self._make_variant(
+                    record, alt, VariantPhase.UNPHASED, fmt, info_row
+                )
+                self.population.add_variant(variant, [genome_names[s]])
+                self.variant_count += 1
+        return True
 
 
 class MonoGenomeParser(_BaseVCFParser):
