@@ -48,6 +48,16 @@ def open_text_stream(path: str):
     (and BGZF by magic). Mirrors BaseStreamIO::getStreamIO."""
     lower = path.lower()
     if lower.endswith(_BGZF_EXTENSIONS) or (lower.endswith(_GZ_EXTENSIONS) and is_bgzf(path)):
+        # Native whole-file parallel inflate for files that fit comfortably
+        # in memory; the threaded streaming reader otherwise.
+        if os.path.getsize(path) < 2 << 30:
+            from ..native import bgzf_decompress
+
+            data = bgzf_decompress(path)
+            if data is not None:
+                return io.TextIOWrapper(
+                    io.BytesIO(data), encoding="ascii", errors="replace"
+                )
         return io.TextIOWrapper(BGZFReader(path), encoding="ascii", errors="replace")
     if lower.endswith(_GZ_EXTENSIONS):
         return gzip.open(path, "rt")
