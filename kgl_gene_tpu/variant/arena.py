@@ -41,6 +41,16 @@ class VariantArena:
         self._index: Dict[Tuple[int, int, bytes, bytes], int] = {}
         self._frozen: Optional[dict] = None
 
+    # --- pickling (population snapshots; the lock is recreated) -----------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_lock", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+
     # ------------------------------------------------------------------ #
     def contig_index(self, contig_id: str) -> int:
         idx = self._contig_index.get(contig_id)

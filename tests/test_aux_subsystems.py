@@ -1,0 +1,165 @@
+"""Auxiliary subsystem tests: memory audit, string hash, REST gating,
+GO XML parser, ingest checkpoint/resume, population snapshots, resource
+parsers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kgl_gene_tpu.io.checkpoint import IngestCursor, load_population, save_population
+from kgl_gene_tpu.io.rest_api import RestAPI
+from kgl_gene_tpu.io.resource_parsers import (
+    Pf7PhysicalDistance,
+    parse_bio_pmid,
+    parse_genome_aux,
+    parse_ped_genealogy,
+    parse_pf7_fws,
+    parse_pf7_sample,
+    parse_uniprot_nomenclature,
+)
+from kgl_gene_tpu.io.vcf import parse_vcf_population
+from kgl_gene_tpu.ontology.go_xml import parse_go_xml
+from kgl_gene_tpu.utils.memory import AuditMemory
+from kgl_gene_tpu.utils.string_hash import combine_hash, string_hash
+
+from fixtures import write_vcf
+
+
+class TestMemoryAndHash:
+    def test_string_hash_stable(self):
+        assert string_hash("GENE1") == string_hash("GENE1")
+        assert string_hash("GENE1") != string_hash("GENE2")
+        h = combine_hash(string_hash("a"), string_hash("b"))
+        assert h != combine_hash(string_hash("b"), string_hash("a"))
+
+    def test_audit(self):
+        AuditMemory.start_audit()
+        big = np.zeros(500000)
+        current, peak = AuditMemory.traced_bytes()
+        assert peak >= big.nbytes
+        delta = AuditMemory.audit_delta()
+        assert isinstance(delta, list)
+        collected = AuditMemory.trim_free_store()
+        assert collected >= 0
+
+
+class TestRestGating:
+    def test_network_disabled_returns_none(self):
+        api = RestAPI("http://example.invalid", allow_network=False)
+        assert api.synchronous_request("x") is None
+        assert api.post_request("x", b"data") is None
+
+
+class TestGoXml:
+    def test_parse(self, tmp_path):
+        xml = """<?xml version="1.0"?>
+<obo>
+  <term>
+    <id>GO:0008150</id><name>biological_process</name>
+    <namespace>biological_process</namespace>
+  </term>
+  <term>
+    <id>GO:0000002</id><name>two</name>
+    <namespace>biological_process</namespace>
+    <is_a>GO:0008150</is_a>
+    <relationship><type>part_of</type><to>GO:0008150</to></relationship>
+    <alt_id>GO:0000022</alt_id>
+  </term>
+  <term>
+    <id>GO:0000099</id><name>old</name>
+    <namespace>biological_process</namespace>
+    <is_obsolete>1</is_obsolete>
+  </term>
+</obo>"""
+        path = tmp_path / "go.xml"
+        path.write_text(xml)
+        records = parse_go_xml(str(path))
+        assert len(records) == 3
+        assert records[1].relations == [("is_a", "GO:0008150"), ("part_of", "GO:0008150")]
+        assert records[1].alt_ids == ["GO:0000022"]
+        assert records[2].obsolete
+        # Same graph as from OBO records.
+        from kgl_gene_tpu.ontology.graph import GoGraph
+
+        graph = GoGraph(records)
+        assert len(graph) == 2
+
+
+class TestCheckpoint:
+    def test_cursor_round_trip(self, tmp_path):
+        cursor = IngestCursor("pop.vcf")
+        cursor.advance("chr1:100", 3)
+        cursor.advance("chr1:200", 2)
+        path = str(tmp_path / "cursor.json")
+        cursor.save(path)
+        loaded = IngestCursor.load(path)
+        assert loaded == cursor
+        assert loaded.should_skip(2)
+        assert not loaded.should_skip(3)
+
+    def test_population_snapshot(self, tmp_path):
+        vcf = write_vcf(str(tmp_path / "pop.vcf"))
+        pop, _, _ = parse_vcf_population(vcf, "pop", "PF_DIPLOID")
+        path = str(tmp_path / "pop.pkl")
+        save_population(pop, path)
+        restored = load_population(path)
+        assert restored.genome_count() == pop.genome_count()
+        assert restored.variant_count() == pop.variant_count()
+        assert len(restored.arena) == len(pop.arena)
+        # Variants identical.
+        orig = sorted(v.hgvs_phase() for _, g in pop for _, c in g for v in c)
+        back = sorted(v.hgvs_phase() for _, g in restored for _, c in g for v in c)
+        assert orig == back
+
+
+class TestResourceParsers:
+    def test_pf7_sample_and_physical_distance(self, tmp_path):
+        path = tmp_path / "samples.tsv"
+        header = "\t".join(["Sample", "Study", "Country", "Site", "clat", "clon",
+                            "lat", "lon", "Year", "ENA", "All", "Population",
+                            "Callable", "QC pass", "Fail reason", "Type", "InPf6"])
+        rows = [
+            "\t".join(["S1", "st", "Ghana", "Accra", "8", "-1", "5.55", "-0.2",
+                       "2019", "E1", "T", "WAF", "0.9", "True", "", "WGS", "F"]),
+            "\t".join(["S2", "st", "Kenya", "Kilifi", "0", "38", "-3.63", "39.85",
+                       "2019", "E2", "T", "EAF", "0.9", "False", "low", "WGS", "F"]),
+        ]
+        path.write_text(header + "\n" + "\n".join(rows) + "\n")
+        resource = parse_pf7_sample(str(path))
+        assert resource.qc_pass_samples() == {"S1"}
+        physical = Pf7PhysicalDistance(resource)
+        dist = physical.sample_distance_km("S1", "S2")
+        assert 4000 < dist < 6000  # Accra -> Kilifi ~ 4,900 km
+
+    def test_fws_resource(self, tmp_path):
+        path = tmp_path / "fws.tsv"
+        path.write_text("Sample\tFWS\nS1\t0.99\nS2\t0.5\n")
+        fws = parse_pf7_fws(str(path))
+        assert fws.monoclonal_samples() == {"S1"}
+        assert fws.get("S2") == 0.5
+
+    def test_genealogy_and_aux(self, tmp_path):
+        ped = tmp_path / "ped.tsv"
+        ped.write_text(
+            "Family\tInd\tPat\tMat\tSex\tPheno\tPop\tPopDesc\n"
+            "F1\tI1\t0\t0\t1\t0\tGBR\tBritish\n"
+        )
+        gen = parse_ped_genealogy(str(ped))
+        assert gen.population_of("I1") == "GBR"
+        aux = tmp_path / "aux.tsv"
+        aux.write_text("Ind\tSex\tPop\tDesc\tSuperPop\tSuperDesc\nI1\t1\tGBR\tBritish\tEUR\tEuropean\n")
+        aux_resource = parse_genome_aux(str(aux))
+        assert aux_resource.super_population_of("I1") == "EUR"
+
+    def test_nomenclature_and_biopmid(self, tmp_path):
+        nom = tmp_path / "nom.tsv"
+        nom.write_text("Symbol\tHGNC\tEnsembl\nBRCA2\tHGNC:1101\tENSG00000139618\n")
+        resource = parse_uniprot_nomenclature(str(nom))
+        assert resource.symbol_to_ensembl["BRCA2"] == "ENSG00000139618"
+        assert resource.ensembl_to_symbol["ENSG00000139618"] == "BRCA2"
+        pmid = tmp_path / "pmid.tsv"
+        pmid.write_text("123\tDisease\tD001\n456\tGene\t675\n")
+        bio = parse_bio_pmid(str(pmid))
+        assert bio.disease_pmids("D001") == {"123"}
+        assert bio.entrez_pmids("675") == {"456"}
