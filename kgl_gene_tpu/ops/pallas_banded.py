@@ -55,7 +55,8 @@ def _prefix_min_chain(base: jnp.ndarray, width: int) -> jnp.ndarray:
 
 
 def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
-                   max_len: int, band_k: int, band_w: int, win_w: int):
+                   max_len: int, band_k: int, band_w: int, win_w: int,
+                   unroll: int = 128):
     """One block of BLOCK_B pairs.
 
     prev_ref: (B, band_w) band wavefront (band_w = 2k+1 padded to 128s).
@@ -124,7 +125,7 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
 
             return (pltpu.roll(a_grp, 127, 1), pltpu.roll(bwin, Wg - 1, 1))
 
-        jax.lax.fori_loop(0, 128, row_body, (a_grp0, bwin0), unroll=128)
+        jax.lax.fori_loop(0, 128, row_body, (a_grp0, bwin0), unroll=unroll)
         return 0
 
     jax.lax.fori_loop(0, n_groups, group_body, 0)
@@ -140,7 +141,7 @@ def _banded_call(seq_a, seq_b_buf, len_a_col, len_b_col, max_len: int,
     Wb = seq_b_buf.shape[1]
     kernel = functools.partial(
         _banded_kernel, max_len=max_len, band_k=band_k, band_w=band_w,
-        win_w=win_w,
+        win_w=win_w, unroll=1 if interpret else 128,
     )
     return pl.pallas_call(
         kernel,
