@@ -1,0 +1,131 @@
+"""Tests: legacy comparison/ploidy/RNA APIs + device-tiled GO similarity."""
+
+import numpy as np
+import pytest
+
+from kgl_gene_tpu.analysis.legacy import (
+    EditItem,
+    GenomicMutation,
+    PloidyAnalysis,
+    RNAAnalysis,
+    compare_sequences,
+    edit_items_to_cigar,
+)
+from kgl_gene_tpu.ops.edit_distance import levenshtein_numpy
+from kgl_gene_tpu.sequence.sequence import DNA5SequenceLinear
+
+
+class TestSequenceComparison:
+    def test_substitution(self):
+        a = DNA5SequenceLinear.from_string("ACGT")
+        b = DNA5SequenceLinear.from_string("AGGT")
+        items = compare_sequences(a, b)
+        assert items == [EditItem("X", 1, "C", "G")]
+        assert edit_items_to_cigar(items, 4) == "1M1X2M"
+
+    def test_insert_delete(self):
+        a = DNA5SequenceLinear.from_string("ACGT")
+        b = DNA5SequenceLinear.from_string("ACGGT")  # insertion
+        items = compare_sequences(a, b)
+        assert len(items) == 1 and items[0].operation == "I"
+        c = DNA5SequenceLinear.from_string("AGT")  # deletion
+        items = compare_sequences(a, c)
+        assert len(items) == 1 and items[0].operation == "D"
+
+    def test_edit_count_matches_distance(self):
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            a = DNA5SequenceLinear(rng.integers(0, 4, 30).astype(np.uint8))
+            b = DNA5SequenceLinear(rng.integers(0, 4, rng.integers(20, 40)).astype(np.uint8))
+            items = compare_sequences(a, b)
+            assert len(items) == levenshtein_numpy(a.codes, b.codes)
+
+
+class TestPloidy:
+    def test_tallies_and_output(self, tmp_path):
+        ploidy = PloidyAnalysis()
+        ploidy.add_ploidy_record("S1", True, True, False, False, 0.95)
+        ploidy.add_ploidy_record("S1", False, False, True, True, 0.5)
+        ploidy.add_ploidy_record("S2", True, False, False, False, 0.9)
+        path = str(tmp_path / "ploidy.csv")
+        assert ploidy.write_ploidy_results(path)
+        text = open(path).read()
+        assert "S1,1,1,1,1" in text
+        assert "0.50,1" in text
+
+    def test_add_population(self):
+        class FakeView:
+            zygosity = np.array([[1, 2, 0], [0, 1, 1]], dtype=np.uint8)
+            genome_ids = ["A", "B"]
+
+        ploidy = PloidyAnalysis()
+        ploidy.add_population(FakeView())
+        assert ploidy.genome_data["A"].heterozygous == 1
+        assert ploidy.genome_data["A"].homozygous == 1
+        assert ploidy.genome_data["B"].heterozygous == 2
+
+
+class TestRNAAndRegion:
+    def test_rna_search_and_region_mutation(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from fixtures import CONTIG_1, make_genome_files, write_vcf
+
+        from kgl_gene_tpu.genome.genome import GenomeReference
+        from kgl_gene_tpu.io.vcf import parse_vcf_population
+        from kgl_gene_tpu.utils.intervals import OpenRightInterval
+
+        files = make_genome_files(tmp_path)
+        genome = GenomeReference.create_genome_database("g", files["fasta"], files["gff"])
+        contig = genome.get_contig(CONTIG_1)
+        # RNA regions exist (NCG1); search a permissive motif.
+        results = RNAAnalysis.search_rna_regions(contig, "NN")
+        assert len(results) == 1  # one ncRNA transcript region
+        # Region mutation for S1.
+        vcf = write_vcf(str(tmp_path / "pop.vcf"))
+        pop, _, info = parse_vcf_population(vcf, "p", "PF_DIPLOID")
+        contig_db = pop.get_genome("S1").get_contig(CONTIG_1)
+        original, mutated = GenomicMutation.mutate_region(
+            contig, contig_db, OpenRightInterval(50, 130), info
+        )
+        assert len(original) == 80
+        assert len(mutated) == 77  # 3bp deletion applied
+
+
+class TestDeviceSimilarity:
+    def test_matches_host_path(self):
+        """Device-tiled MICA/Lin equals the host bitset path on the mini
+        ontology."""
+        from kgl_gene_tpu.io.gaf import GafRecord
+        from kgl_gene_tpu.ontology.annotation import TermAnnotation
+        from kgl_gene_tpu.ontology.graph import GoGraph
+        from kgl_gene_tpu.ontology.information import InformationContent
+        from kgl_gene_tpu.ontology.obo import parse_go_obo
+        from kgl_gene_tpu.ontology.similarity import SimilarityLin
+        from kgl_gene_tpu.ops.similarity import lin_matrix_device, mica_matrix_device
+
+        from test_ontology import OBO_TEXT, _gaf
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "mini.obo")
+            with open(path, "w") as f:
+                f.write(OBO_TEXT)
+            graph = GoGraph(parse_go_obo(path))
+        annotation = TermAnnotation(
+            [_gaf("geneA", "GO:0000004"), _gaf("geneB", "GO:0000005"),
+             _gaf("geneC", "GO:0000006"), _gaf("geneD", "GO:0000002"),
+             _gaf("geneE", "GO:0000003")],
+            graph=graph,
+        )
+        info = InformationContent(graph, annotation)
+        terms = ["GO:0000002", "GO:0000003", "GO:0000004", "GO:0000005", "GO:0000006"]
+        idxs = [graph.term_index(t) for t in terms]
+        want_mica = info.mica_matrix(idxs)
+        got_mica = mica_matrix_device(info, idxs, tile=2)
+        np.testing.assert_allclose(got_mica, want_mica, atol=1e-6)
+        lin = SimilarityLin(info)
+        want = lin.similarity_matrix(terms)
+        got = lin_matrix_device(info, terms, tile=3)
+        np.testing.assert_allclose(got, want, atol=1e-6)
