@@ -27,7 +27,7 @@ __all__ = ["ChainState", "Chain", "MCMCSampler", "UPDATER_NAMES"]
 
 UPDATER_NAMES = (
     "branch_length", "tree_length", "gamma_shape", "p_invariant",
-    "state_freq", "exchangeability", "larget_simon",
+    "state_freq", "exchangeability", "larget_simon", "omega", "kappa",
 )
 
 
@@ -38,11 +38,16 @@ class ChainState:
     log_like: float = -np.inf
 
     def copy(self) -> "ChainState":
-        model = SubstitutionModel(
-            self.model.exchangeabilities.copy(), self.model.frequencies.copy(),
-            self.model.gamma_shape, self.model.n_rate_categories,
-            self.model.p_invariant,
-        )
+        if hasattr(self.model, "exchangeabilities"):
+            model = SubstitutionModel(
+                self.model.exchangeabilities.copy(), self.model.frequencies.copy(),
+                self.model.gamma_shape, self.model.n_rate_categories,
+                self.model.p_invariant,
+            )
+        else:  # codon model
+            import copy as _copy
+
+            model = _copy.deepcopy(self.model)
         return ChainState(self.tree.copy(), model, self.log_like)
 
 
@@ -52,24 +57,28 @@ class Chain:
     def __init__(self, alignment: np.ndarray, state: ChainState,
                  heating_power: float = 1.0, rng: Optional[random.Random] = None,
                  updaters: Tuple[str, ...] = UPDATER_NAMES,
-                 fixed_topology: bool = False):
+                 fixed_topology: bool = False,
+                 likelihood_fn=None):
         self.alignment = alignment
         self.state = state
         self.heating_power = heating_power
         self.rng = rng or random.Random(0)
+        # Custom likelihood (e.g. the codon model's 61-state pruning,
+        # phylo/codon.py); defaults to the nucleotide likelihood.
+        self.likelihood_fn = likelihood_fn or log_likelihood
         self.updaters = tuple(
             u for u in updaters if not (fixed_topology and u == "larget_simon")
         )
         self.accept_counts: Dict[str, int] = {u: 0 for u in self.updaters}
         self.try_counts: Dict[str, int] = {u: 0 for u in self.updaters}
-        self.state.log_like = log_likelihood(state.tree, alignment, state.model)
+        self.state.log_like = self.likelihood_fn(state.tree, alignment, state.model)
 
     # --- proposal helpers -------------------------------------------------
     def _metropolis(self, name: str, proposal_state: ChainState,
                     log_hastings: float = 0.0, log_prior_ratio: float = 0.0) -> bool:
         """Accept/reject at the chain's heating power."""
         self.try_counts[name] += 1
-        proposal_state.log_like = log_likelihood(
+        proposal_state.log_like = self.likelihood_fn(
             proposal_state.tree, self.alignment, proposal_state.model
         )
         log_ratio = (
@@ -106,7 +115,7 @@ class Chain:
         self._metropolis("tree_length", proposal, hastings, prior)
 
     def _update_gamma_shape(self) -> None:
-        if self.state.model.n_rate_categories <= 1:
+        if getattr(self.state.model, "n_rate_categories", 1) <= 1:
             return
         proposal = self.state.copy()
         factor = math.exp(0.5 * (self.rng.random() - 0.5))
@@ -115,7 +124,7 @@ class Chain:
         self._metropolis("gamma_shape", proposal, math.log(factor))
 
     def _update_p_invariant(self) -> None:
-        if self.state.model.p_invariant <= 0.0:
+        if getattr(self.state.model, "p_invariant", 0.0) <= 0.0:
             return
         proposal = self.state.copy()
         delta = (self.rng.random() - 0.5) * 0.1
@@ -141,12 +150,32 @@ class Chain:
         self._metropolis("state_freq", proposal, hastings)
 
     def _update_exchangeability(self) -> None:
+        if not hasattr(self.state.model, "exchangeabilities"):
+            return
         proposal = self.state.copy()
         ex = self.state.model.exchangeabilities
         norm = ex / ex.sum()
         new, hastings = self._dirichlet_proposal(norm)
         proposal.model.exchangeabilities = new * ex.sum()
         self._metropolis("exchangeability", proposal, hastings)
+
+    def _update_omega(self) -> None:
+        """dN/dS scaler (kpl_mcmc_omega.h) — codon models only."""
+        if not hasattr(self.state.model, "omega"):
+            return
+        proposal = self.state.copy()
+        factor = math.exp(0.4 * (self.rng.random() - 0.5))
+        proposal.model.omega = min(max(self.state.model.omega * factor, 1e-4), 20.0)
+        self._metropolis("omega", proposal, math.log(factor))
+
+    def _update_kappa(self) -> None:
+        """Transition/transversion ratio scaler — codon/HKY models."""
+        if not hasattr(self.state.model, "kappa"):
+            return
+        proposal = self.state.copy()
+        factor = math.exp(0.4 * (self.rng.random() - 0.5))
+        proposal.model.kappa = min(max(self.state.model.kappa * factor, 1e-3), 100.0)
+        self._metropolis("kappa", proposal, math.log(factor))
 
     def _update_larget_simon(self) -> None:
         """Larget-Simon LOCAL move (kpl_mcmc_treeupdater.h): pick an
@@ -190,6 +219,8 @@ class Chain:
             "state_freq": self._update_state_freq,
             "exchangeability": self._update_exchangeability,
             "larget_simon": self._update_larget_simon,
+            "omega": self._update_omega,
+            "kappa": self._update_kappa,
         }
         for updater in self.updaters:
             dispatch[updater]()
@@ -206,13 +237,15 @@ class MCMCSampler:
 
     def __init__(self, alignment: np.ndarray, initial: ChainState,
                  n_chains: int = 1, heat_factor: float = 0.5,
-                 seed: int = 0, fixed_topology: bool = False):
+                 seed: int = 0, fixed_topology: bool = False,
+                 likelihood_fn=None):
         self.chains: List[Chain] = []
         for c in range(n_chains):
             power = 1.0 / (1.0 + heat_factor * c)
             self.chains.append(
                 Chain(alignment, initial.copy(), power,
-                      random.Random(seed + c), fixed_topology=fixed_topology)
+                      random.Random(seed + c), fixed_topology=fixed_topology,
+                      likelihood_fn=likelihood_fn)
             )
         self.rng = random.Random(seed + 1000)
         self.swap_attempts = 0
@@ -249,8 +282,9 @@ class MCMCSampler:
                     "iteration": it,
                     "log_like": cold.state.log_like,
                     "tree_length": cold.state.tree.tree_length(),
-                    "gamma_shape": cold.state.model.gamma_shape,
-                    "frequencies": cold.state.model.frequencies.copy(),
+                    "gamma_shape": getattr(cold.state.model, "gamma_shape", 0.0),
+                    "omega": getattr(cold.state.model, "omega", None),
+                    "frequencies": np.asarray(cold.state.model.frequencies).copy(),
                     "newick": cold.state.tree.newick(),
                 })
         return self.samples
