@@ -28,6 +28,7 @@ __all__ = [
     "sharded_allele_counts",
     "sharded_het_hom",
     "sharded_inbreeding",
+    "sharded_pairwise_distances",
 ]
 
 
@@ -130,3 +131,49 @@ def sharded_inbreeding(
 
     result = np.asarray(_estimate(z, p, valid))
     return result[:n_genomes]
+
+
+def sharded_pairwise_distances(
+    seqs: np.ndarray, lens: np.ndarray, mesh: Mesh,
+) -> np.ndarray:
+    """All-pairs Levenshtein matrix with PAIR batches sharded over the mesh.
+
+    The classification scale-out (SURVEY.md section 7 M3): sequences
+    replicate to every device; the upper-triangle pair list shards; each
+    device runs the wavefront DP on its local pairs; results gather
+    host-side into the symmetric matrix. This is the multi-chip form of
+    ops.edit_distance.pairwise_distance_matrix.
+    """
+    from ..ops.edit_distance import _batched_levenshtein_impl
+
+    axis = mesh.axis_names[0]
+    seqs = np.asarray(seqs)
+    lens = np.asarray(lens, dtype=np.int32)
+    n, M = seqs.shape
+    iu, ju = np.triu_indices(n, k=1)
+    pairs = np.stack([iu, ju], axis=1).astype(np.int32)
+    n_pairs = len(pairs)
+    pairs_padded = pad_to_multiple(pairs, mesh.devices.size, axis=0)
+    pair_shard = jax.device_put(
+        pairs_padded, NamedSharding(mesh, P(axis, None))
+    )
+    seqs_d = jnp.asarray(seqs.astype(np.int32))
+    lens_d = jnp.asarray(lens)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(axis, None), P(None, None), P(None)),
+        out_specs=P(axis),
+    )
+    def _distances(local_pairs, all_seqs, all_lens):
+        a = all_seqs[local_pairs[:, 0]]
+        b = all_seqs[local_pairs[:, 1]]
+        la = all_lens[local_pairs[:, 0]]
+        lb = all_lens[local_pairs[:, 1]]
+        return _batched_levenshtein_impl(a, la, b, lb, a.shape[1], b.shape[1])
+
+    distances = np.asarray(_distances(pair_shard, seqs_d, lens_d))[:n_pairs]
+    out = np.zeros((n, n), dtype=np.float64)
+    out[iu, ju] = distances
+    out[ju, iu] = distances
+    return out

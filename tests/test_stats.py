@@ -201,3 +201,20 @@ class TestShardedReductions:
         sharded = sharded_inbreeding(locus.zygosity, locus.minor_freq, mesh, "Simple")
         local = simple_f(locus)
         np.testing.assert_allclose(sharded, local, atol=1e-5)
+
+
+class TestShardedDistances:
+    def test_matrix_matches_single_device(self):
+        from kgl_gene_tpu.ops.edit_distance import pairwise_distance_matrix
+        from kgl_gene_tpu.parallel.mesh import sample_mesh, sharded_pairwise_distances
+
+        rng = np.random.default_rng(7)
+        n, M = 10, 24
+        seqs = rng.integers(0, 4, (n, M)).astype(np.uint8)
+        lens = rng.integers(10, M + 1, n).astype(np.int32)
+        for i in range(n):
+            seqs[i, lens[i]:] = 0
+        mesh = sample_mesh()
+        sharded = sharded_pairwise_distances(seqs, lens, mesh)
+        local = pairwise_distance_matrix(seqs, lens)
+        np.testing.assert_array_equal(sharded, local)
