@@ -115,7 +115,10 @@ def _parse_meta_fields(text: str) -> Dict[str, str]:
 # --------------------------------------------------------------------------- #
 @dataclass
 class VCFRecord:
-    """One tab-split VCF data line (kgl_variant_vcf_record.h:21)."""
+    """One VCF data line (kgl_variant_vcf_record.h:21). Only the 9 fixed
+    fields are split eagerly; the genotype columns stay as one string
+    (genotype_text) so the native tokenizer consumes them without a Python
+    split/join round trip."""
 
     contig_id: str
     offset: int  # ZERO based (VCF POS - 1)
@@ -126,8 +129,17 @@ class VCFRecord:
     passed_filter: bool
     info: str
     format_fields: List[str]
-    genotypes: List[str]
+    genotype_text: str = ""
     line_number: int = 0
+    _genotypes: Optional[List[str]] = None
+
+    @property
+    def genotypes(self) -> List[str]:
+        if self._genotypes is None:
+            self._genotypes = (
+                self.genotype_text.split("\t") if self.genotype_text else []
+            )
+        return self._genotypes
 
 
 def read_vcf(path: str) -> Tuple[VCFHeader, Iterator[VCFRecord]]:
@@ -195,7 +207,8 @@ def _parse_header_line(line: str, header: VCFHeader) -> None:
 
 
 def _parse_record_line(line: str, line_number: int) -> Optional[VCFRecord]:
-    fields = line.split("\t")
+    # Split only the 9 fixed fields; genotype columns stay joined.
+    fields = line.split("\t", 9)
     if len(fields) < 8:
         log().warn("VCF line {}: expected >=8 tab fields, found {}", line_number, len(fields))
         return None
@@ -219,7 +232,7 @@ def _parse_record_line(line: str, line_number: int) -> Optional[VCFRecord]:
         passed_filter=fields[6] in PASS_FILTER,
         info=fields[7],
         format_fields=fields[8].split(":") if len(fields) > 8 else [],
-        genotypes=fields[9:] if len(fields) > 9 else [],
+        genotype_text=fields[9] if len(fields) > 9 else "",
         line_number=line_number,
     )
 
@@ -496,11 +509,11 @@ class PfDiploidParser(_BaseVCFParser):
                              fmt_index: Dict[str, int], parse_genotypes) -> bool:
         """C++ tokenised genotype columns -> incidences. Returns False to
         fall back to the Python path for this record."""
-        n_samples = len(record.genotypes)
-        if n_samples == 0 or n_samples != len(genome_names):
+        n_samples = len(genome_names)
+        if n_samples == 0 or not record.genotype_text:
             return False
         n_alleles = len(record.alts)
-        text = "\t".join(record.genotypes).encode("ascii", "replace")
+        text = record.genotype_text.encode("ascii", "replace")
         result = parse_genotypes(
             text, n_samples, n_alleles,
             fmt_index.get("GT", -1), fmt_index.get("AD", -1),
@@ -512,6 +525,24 @@ class PfDiploidParser(_BaseVCFParser):
         info_row = self._info_row(record)
         # Carrier mask: any non-ref allele called.
         carriers = np.nonzero((gt_a > 0) | (gt_b > 0))[0]
+        if len(carriers) == 0:
+            return True
+        # Intern each alt allele ONCE per record; incidences then append
+        # directly to the contigs (no per-incidence Variant objects).
+        contig_id = self._map_contig(record.contig_id)
+        ref_codes = DNA5.from_string(record.ref)
+        allele_rows: List[int] = []
+        for alt in record.alts:
+            if alt == UPSTREAM_ALLELE or not alt or alt == MISSING:
+                allele_rows.append(-1)
+                continue
+            allele_rows.append(self.population.arena.intern(
+                contig_id, record.offset, ref_codes, DNA5.from_string(alt),
+                record.identifier, info_row,
+            ))
+        quality = record.quality
+        unphased = VariantPhase.UNPHASED
+        pop = self.population
         for s in carriers:
             s = int(s)
             # AD must list n_alleles + 1 depths (reference parser skips the
@@ -522,20 +553,26 @@ class PfDiploidParser(_BaseVCFParser):
                     record.line_number, n_alleles + 1, int(ad_count[s]),
                 )
                 continue
+            contig_db = None
             for allele_no in (int(gt_a[s]), int(gt_b[s])):
                 if allele_no <= 0 or allele_no > n_alleles:
                     continue
-                alt = record.alts[allele_no - 1]
+                row = allele_rows[allele_no - 1]
+                if row < 0:
+                    continue
                 ref_count = int(ad[s, 0])
                 alt_count = int(ad[s, allele_no])
-                if alt == UPSTREAM_ALLELE or (ref_count == 0 and alt_count == 0):
-                    continue
-                fmt = FormatData(ref_count, alt_count, int(dp[s]), float(gq[s]),
-                                 record.quality)
-                variant = self._make_variant(
-                    record, alt, VariantPhase.UNPHASED, fmt, info_row
+                if ref_count == 0 and alt_count == 0:
+                    continue  # spanning downstream deletion
+                if contig_db is None:
+                    genome = pop.get_create_genome(genome_names[s])
+                    contig_db = genome.get_create_contig(contig_id)
+                contig_db.add_incidence(
+                    row, unphased,
+                    FormatData(ref_count, alt_count, int(dp[s]), float(gq[s]),
+                               quality),
+                    record.passed_filter,
                 )
-                self.population.add_variant(variant, [genome_names[s]])
                 self.variant_count += 1
         return True
 
