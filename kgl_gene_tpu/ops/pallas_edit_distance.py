@@ -53,8 +53,12 @@ def _levenshtein_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref,
     b_roll[:] = pltpu.roll(b_rev, 2, 1)
 
     # diag 0: D[0,0] = 0; diag 1: D[1,0] = D[0,1] = 1 (others BIG).
-    diag_pp[:] = jnp.where(i_idx == 0, 0, BIG)
-    diag_p[:] = jnp.where(i_idx <= 1, 1, BIG)
+    # Buffers: diag_p holds the previous diagonal, diag_pp holds the
+    # previous diagonal PRE-SHIFTED by one lane (i.e. roll(prev, 1)) — the
+    # shift is reused as this step's `up` AND becomes next step's `diagv`,
+    # saving one 1-lane roll of the wide wavefront per step.
+    diag_p[:] = jnp.where(i_idx <= 1, 1, BIG)     # diagonal d=1
+    diag_pp[:] = pltpu.roll(jnp.where(i_idx == 0, 0, BIG), 1, 1)  # roll(d=0, 1)
 
     # Degenerate results for len_a + len_b < 2 (captures start at d == 2).
     out_ref[:] = jnp.where((la + lb) < 2, la + lb, 0) + jnp.zeros(
@@ -64,9 +68,10 @@ def _levenshtein_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref,
     def body(d, _):
         j_idx = d - i_idx
         cost = (a_sh != b_roll[:]).astype(jnp.int32)
-        up = pltpu.roll(diag_p[:], 1, 1)
-        diagv = pltpu.roll(diag_pp[:], 1, 1)
-        cand = jnp.minimum(jnp.minimum(up + 1, diag_p[:] + 1), diagv + cost)
+        prev = diag_p[:]
+        up = pltpu.roll(prev, 1, 1)        # roll(prev diag, 1): D[i-1, j]
+        diagv = diag_pp[:]                 # roll of the d-2 diagonal (saved)
+        cand = jnp.minimum(jnp.minimum(up + 1, prev + 1), diagv + cost)
         cand = jnp.where(j_idx == 0, i_idx, cand)
         cand = jnp.where(i_idx == 0, j_idx, cand)
         invalid = (j_idx < 0) | (j_idx > M) | (i_idx > M)
@@ -79,7 +84,7 @@ def _levenshtein_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref,
         )  # (B, 1)
         out_ref[:] = out_ref[:] + captured + jnp.zeros((BLOCK_B, 128), jnp.int32)
 
-        diag_pp[:] = diag_p[:]
+        diag_pp[:] = up                    # roll(prev, 1) = next step's diagv
         diag_p[:] = cand
         b_roll[:] = pltpu.roll(b_roll[:], 1, 1)
         return 0
