@@ -34,18 +34,24 @@ BLOCK_B = 32  # pairs per grid step (multiple of the int32 8-sublane tile)
 
 
 def _levenshtein_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref,
-                        diag_pp, diag_p, b_roll, max_len: int, width: int):
-    """One block of BLOCK_B pairs; lanes = wavefront cells i = 0..width-1."""
+                        diag_pp, diag_p, b_roll, max_len: int, width: int,
+                        dp_dtype=jnp.int32):
+    """One block of BLOCK_B pairs; lanes = wavefront cells i = 0..width-1.
+
+    dp_dtype int16 would double VPU lanes per tile when 2*max_len+7 < 32768,
+    but the current Mosaic backend cannot rotate non-32-bit vectors
+    ("Rotate with non-32-bit data"), so int32 remains the production path;
+    the parameter is kept for when the lowering lands."""
     W = width
     M = max_len
-    BIG = jnp.int32(2 * M + 7)
+    BIG = jnp.asarray(2 * M + 7, dp_dtype)
 
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_B, W), 1)
-    la = len_a_ref[:, 0:1]  # (B, 1)
-    lb = len_b_ref[:, 0:1]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_B, W), 1).astype(dp_dtype)
+    la = len_a_ref[:, 0:1].astype(dp_dtype)  # (B, 1)
+    lb = len_b_ref[:, 0:1].astype(dp_dtype)
 
-    a = a_ref[:].astype(jnp.int32)
-    b_rev = b_ref[:].astype(jnp.int32)  # b arrives lane-REVERSED from host
+    a = a_ref[:].astype(dp_dtype)
+    b_rev = b_ref[:].astype(dp_dtype)  # b arrives lane-REVERSED from host
     # a_shifted[l] = a[l-1]  (cost for cell i uses a[i-1])
     a_sh = pltpu.roll(a, 1, 1)
     # b_roll[l] = b[(d-1-l) mod W]; init for d == 2 is roll(reverse(b), 2)
@@ -61,13 +67,13 @@ def _levenshtein_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref,
     diag_pp[:] = pltpu.roll(jnp.where(i_idx == 0, 0, BIG), 1, 1)  # roll(d=0, 1)
 
     # Degenerate results for len_a + len_b < 2 (captures start at d == 2).
-    out_ref[:] = jnp.where((la + lb) < 2, la + lb, 0) + jnp.zeros(
+    out_ref[:] = jnp.where((la + lb) < 2, la + lb, 0).astype(jnp.int32) + jnp.zeros(
         (BLOCK_B, 128), jnp.int32
     )
 
     def body(d, _):
-        j_idx = d - i_idx
-        cost = (a_sh != b_roll[:]).astype(jnp.int32)
+        j_idx = jnp.asarray(d, dp_dtype) - i_idx
+        cost = (a_sh != b_roll[:]).astype(dp_dtype)
         prev = diag_p[:]
         up = pltpu.roll(prev, 1, 1)        # roll(prev diag, 1): D[i-1, j]
         diagv = diag_pp[:]                 # roll of the d-2 diagonal (saved)
@@ -78,9 +84,10 @@ def _levenshtein_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref,
         cand = jnp.where(invalid, BIG, cand)
 
         # Capture D[len_a, len_b] when this diagonal crosses it.
-        hit = (la + lb) == d  # (B, 1)
+        hit = (la + lb) == jnp.asarray(d, dp_dtype)  # (B, 1)
         captured = jnp.sum(
-            jnp.where((i_idx == la) & hit, cand, 0), axis=1, keepdims=True
+            jnp.where((i_idx == la) & hit, cand.astype(jnp.int32), 0),
+            axis=1, keepdims=True,
         )  # (B, 1)
         out_ref[:] = out_ref[:] + captured + jnp.zeros((BLOCK_B, 128), jnp.int32)
 
@@ -92,13 +99,14 @@ def _levenshtein_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref,
     jax.lax.fori_loop(2, 2 * M + 1, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_len", "interpret", "use_int16"))
 def _pallas_call(seq_a, seq_b, len_a_col, len_b_col, max_len: int,
-                 interpret: bool = False):
+                 interpret: bool = False, use_int16: bool = False):
     B, W = seq_a.shape
     grid = (B // BLOCK_B,)
+    dp_dtype = jnp.int16 if (use_int16 and 2 * max_len + 7 < 32768) else jnp.int32
     kernel = functools.partial(
-        _levenshtein_kernel, max_len=max_len, width=W
+        _levenshtein_kernel, max_len=max_len, width=W, dp_dtype=dp_dtype
     )
     return pl.pallas_call(
         kernel,
@@ -112,9 +120,9 @@ def _pallas_call(seq_a, seq_b, len_a_col, len_b_col, max_len: int,
         out_specs=pl.BlockSpec((BLOCK_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_B, W), jnp.int32),
-            pltpu.VMEM((BLOCK_B, W), jnp.int32),
-            pltpu.VMEM((BLOCK_B, W), jnp.int32),
+            pltpu.VMEM((BLOCK_B, W), dp_dtype),
+            pltpu.VMEM((BLOCK_B, W), dp_dtype),
+            pltpu.VMEM((BLOCK_B, W), dp_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * B * (2 * max_len) * W, bytes_accessed=3 * B * W * 4,
