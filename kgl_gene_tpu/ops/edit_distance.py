@@ -140,7 +140,18 @@ def batched_levenshtein(
     """Batched exact Levenshtein over padded code arrays.
 
     seq_a: (B, Ma), seq_b: (B, Mb); lengths give the true sizes.
+    On a TPU backend this routes to the Pallas wavefront kernel; elsewhere
+    (CPU tests, inside shard_map) it runs the lax.scan formulation.
     """
+    if jax.default_backend() in ("tpu", "axon"):
+        from .pallas_edit_distance import pallas_batched_levenshtein
+
+        return jnp.asarray(
+            pallas_batched_levenshtein(
+                np.asarray(seq_a), np.asarray(len_a),
+                np.asarray(seq_b), np.asarray(len_b),
+            )
+        )
     seq_a = jnp.asarray(seq_a)
     seq_b = jnp.asarray(seq_b)
     return _batched_levenshtein_impl(
