@@ -153,8 +153,28 @@ def pallas_batched_levenshtein(
     len_b = np.asarray(len_b, dtype=np.int32)
     B = seq_a.shape[0]
     M = max(seq_a.shape[1], seq_b.shape[1])
-    W = ((M + 1 + 127) // 128) * 128
-    Bp = ((B + BLOCK_B - 1) // BLOCK_B) * BLOCK_B
+    # Shape bucketing: remote TPU compiles are minutes per NEW shape, so pad
+    # the wavefront width to power-of-two 128-multiples and chunk the batch
+    # to a fixed size — one compile per W bucket, reused forever.
+    W = 128
+    while W < M + 1:
+        W *= 2
+    M = W - 1  # kernel loop bound matches the bucket
+    CHUNK = 512
+    if not interpret and B > CHUNK:
+        return np.concatenate([
+            pallas_batched_levenshtein(
+                seq_a[s : s + CHUNK], len_a[s : s + CHUNK],
+                seq_b[s : s + CHUNK], len_b[s : s + CHUNK], interpret=interpret,
+            )
+            for s in range(0, B, CHUNK)
+        ])
+    if interpret:
+        Bp = ((B + BLOCK_B - 1) // BLOCK_B) * BLOCK_B
+    else:
+        Bp = BLOCK_B  # power-of-two batch buckets: 32, 64, ..., CHUNK
+        while Bp < B:
+            Bp *= 2
 
     def pad(x, cols, rows, fill=0):
         out = np.full((rows, cols), fill, dtype=np.int32)
