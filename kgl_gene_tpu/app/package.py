@@ -34,7 +34,15 @@ class ParserSelection:
     @staticmethod
     def parse_data(file_info: BaseFileInfo, runtime: RuntimeProperties,
                    resources: AnalysisResources):
-        parser_type = file_info.parser_type.upper()
+        # Resolve named data sources (Genome1000, Falciparum, Gnomad3_1, ...)
+        # through the characteristics table first (kgl_data_file_type.h).
+        from ..io.data_source import find_characteristic
+
+        characteristic = find_characteristic(file_info.parser_type)
+        if characteristic is not None:
+            parser_type = characteristic.parser_type.value
+        else:
+            parser_type = file_info.parser_type.upper()
         if parser_type in ParserSelection.VCF_PARSERS:
             evidence_fields = None
             if isinstance(file_info, RuntimeVCFFileInfo) and file_info.evidence_ident:

@@ -194,3 +194,36 @@ class TestAnalysisFramework:
         pa.file_read_analysis(object())
         assert len(pa.active) == 1  # FAIL_TEST dropped
         assert pa.active[0].ANALYSIS_IDENT == "NULL"
+
+
+class TestDataSourceTable:
+    def test_characteristics_lookup(self):
+        from kgl_gene_tpu.io.data_source import (
+            DataSource,
+            DataStructure,
+            ParserType,
+            find_characteristic,
+        )
+
+        c = find_characteristic("Falciparum")
+        assert c.parser_type is ParserType.DiploidFalciparum
+        assert c.data_structure is DataStructure.DiploidUnphased
+        assert find_characteristic(DataSource.Genome1000).parser_type is ParserType.DiploidPhased
+        assert find_characteristic("JSONdbSNP").data_structure is DataStructure.CitationMap
+        assert find_characteristic("nope") is None
+
+    def test_named_source_dispatch(self, app_setup):
+        """A dataFile declared with source text 'Falciparum' parses through
+        the characteristics table."""
+        from kgl_gene_tpu.app.package import ParserSelection
+        from kgl_gene_tpu.app.resources import AnalysisResources
+        from kgl_gene_tpu.app.runtime import RuntimeProperties, RuntimeVCFFileInfo
+
+        xml_path, work_dir = app_setup
+        props = RuntimeProperties.read_properties(xml_path)
+        info = props.data_files["popVCF"]
+        named = RuntimeVCFFileInfo(info.file_ident, info.file_name,
+                                   "Falciparum", info.evidence_ident)
+        population = ParserSelection.parse_data(named, props, AnalysisResources())
+        assert population is not None
+        assert population.genome_count() == 4
