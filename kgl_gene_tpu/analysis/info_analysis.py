@@ -100,6 +100,7 @@ class InfoFilterAnalysis(VirtualAnalysis):
 
     def initialize_analysis(self, work_directory, parameters, resources) -> bool:
         self.work_directory = work_directory
+        self.histogram_sums: Dict[str, np.ndarray] = {}
         return True
 
     def file_read_analysis(self, population) -> bool:
@@ -107,6 +108,23 @@ class InfoFilterAnalysis(VirtualAnalysis):
         if info is None:
             log().warn("INFO_FILTER: population has no info store")
             return True
+        # Histogram array fields (the gnomAD age_hist_het/age_hist_hom
+        # matrices of InfoAgeAnalysis, kga_analysis_age.h:66): sum the bin
+        # vectors across all variants.
+        for fid in sorted(info.subscribed):
+            if "hist" in fid.lower() and fid in info._objects:
+                for row in range(info.count):
+                    value = info.object_value(fid, row)
+                    if not value:
+                        continue
+                    bins = np.array(
+                        [float(v) if v is not None else 0.0 for v in value]
+                    )
+                    acc = self.histogram_sums.get(fid)
+                    if acc is None or len(acc) != len(bins):
+                        self.histogram_sums[fid] = bins.copy()
+                    else:
+                        acc += bins
         for fid in sorted(info.subscribed):
             try:
                 column = info.float_column(fid)
@@ -136,6 +154,13 @@ class InfoFilterAnalysis(VirtualAnalysis):
                     f"{stats['q25']:.6g},{stats['median']:.6g},{stats['q75']:.6g},"
                     f"{stats['max']:.6g}\n"
                 )
+        if self.histogram_sums:
+            hist_path = os.path.join(self.work_directory, "info_histograms.csv")
+            with open(hist_path, "w") as f:
+                f.write("Field,Bin,Sum\n")
+                for fid, bins in sorted(self.histogram_sums.items()):
+                    for b, value in enumerate(bins):
+                        f.write(f"{fid},{b},{value:.6g}\n")
         return True
 
 

@@ -163,6 +163,18 @@ class ContigReference:
         """Verify transcripts; returns (valid, invalid) counts and logs a
         summary (GenomeReference::createVerifyGenomeDatabase analogue)."""
         valid = invalid = 0
+        # Hierarchy containment: sub-features should lie within their
+        # super-feature interval (kgl_genome_verify.cpp hierarchy checks).
+        containment_warnings = 0
+        for feature in self.features.values():
+            for sub in feature.sub_features:
+                if not feature.interval.contains_interval(sub.interval):
+                    containment_warnings += 1
+        if containment_warnings:
+            log().warn(
+                "contig {}: {} sub-features extend beyond their super-feature",
+                self.contig_id, containment_warnings,
+            )
         for gene_id, transcripts in self._transcripts.items():
             for transcript in transcripts.transcripts():
                 if transcript.end > len(self.sequence):

@@ -20,7 +20,7 @@ from ..utils.logging import log
 from .annotation import TermAnnotation
 from .graph import GoGraph
 
-__all__ = ["TermSimilarityCache", "write_similarity_matrix", "read_similarity_matrix"]
+__all__ = ["TermSimilarityCache", "TermSimilarityCacheAsymmetric", "write_similarity_matrix", "read_similarity_matrix"]
 
 
 class TermSimilarityCache:
@@ -102,6 +102,34 @@ class TermSimilarityCache:
                 value = fn(term_sets[i], term_sets[j])
                 out[i, j] = out[j, i] = value
         return out
+
+
+class TermSimilarityCacheAsymmetric(TermSimilarityCache):
+    """Cache for asymmetric term measures: rows and columns may come from
+    different term sets and M[i,j] is NOT assumed equal to M[j,i]
+    (kol_SimilarityCacheAsymmetric.cpp:153). The full rectangle computes
+    column-blocks through the measure's scalar API."""
+
+    def __init__(self, similarity, annotation: TermAnnotation, namespace: str,
+                 column_terms=None):
+        self.namespace = namespace
+        self.terms: List[str] = annotation.all_terms(namespace)
+        self.column_terms: List[str] = list(column_terms) if column_terms else self.terms
+        self.term_index = {t: i for i, t in enumerate(self.terms)}
+        self.column_index = {t: i for i, t in enumerate(self.column_terms)}
+        import numpy as _np
+
+        self.matrix = _np.zeros((len(self.terms), len(self.column_terms)))
+        for i, a in enumerate(self.terms):
+            for j, b in enumerate(self.column_terms):
+                self.matrix[i, j] = similarity.calculate_term_similarity(a, b)
+
+    def calculate_term_similarity(self, term_a: str, term_b: str) -> float:
+        ia = self.term_index.get(term_a)
+        ib = self.column_index.get(term_b)
+        if ia is None or ib is None:
+            return 0.0
+        return float(self.matrix[ia, ib])
 
 
 def write_similarity_matrix(path: str, terms: Sequence[str], matrix: np.ndarray) -> None:
