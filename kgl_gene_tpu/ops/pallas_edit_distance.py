@@ -153,13 +153,17 @@ def pallas_batched_levenshtein(
     len_b = np.asarray(len_b, dtype=np.int32)
     B = seq_a.shape[0]
     M = max(seq_a.shape[1], seq_b.shape[1])
-    # Shape bucketing: remote TPU compiles are minutes per NEW shape, so pad
-    # the wavefront width to power-of-two 128-multiples and chunk the batch
-    # to a fixed size — one compile per W bucket, reused forever.
-    W = 128
-    while W < M + 1:
-        W *= 2
-    M = W - 1  # kernel loop bound matches the bucket
+    # Shape bucketing (compiled mode only): remote TPU compiles are minutes
+    # per NEW shape, so pad the wavefront width to power-of-two
+    # 128-multiples and bucket the batch — one compile per bucket, reused
+    # forever. Interpreter runs keep exact shapes (loop count = cost).
+    if interpret:
+        W = ((M + 1 + 127) // 128) * 128
+    else:
+        W = 128
+        while W < M + 1:
+            W *= 2
+        M = W - 1  # kernel loop bound matches the bucket
     CHUNK = 512
     if not interpret and B > CHUNK:
         return np.concatenate([
