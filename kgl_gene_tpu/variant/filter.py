@@ -26,6 +26,7 @@ __all__ = [
     "RefAltCountFilter", "PhaseFilter", "UniqueUnphasedFilter",
     "UniquePhasedFilter", "HomozygousFilter", "HeterozygousFilter",
     "DiploidFilter", "ContigRegionFilter", "GenomeListFilter",
+    "InfoGEQFloatFilter", "P7FrequencyFilter", "VepSubStringFilter",
 ]
 
 
@@ -329,6 +330,65 @@ class ContigModifyFilter(FilterContigs):
         size = np.where(is_delete, ref_len - alt_len, np.where(is_insert, alt_len - ref_len, 1))
         upper = lower + size
         return (lower < self.interval.upper) & (upper > self.interval.lower)
+
+
+class InfoGEQFloatFilter(FilterVariants):
+    """Variants whose scalar INFO field value >= threshold
+    (InfoGEQFloatFilter, kgl_variant_filter_info.h:35). Missing values
+    fail the filter."""
+
+    def __init__(self, info_store, field_id: str, threshold: float):
+        self.info = info_store
+        self.field_id = field_id
+        self.threshold = threshold
+        self.filter_name = f"InfoGEQFloatFilter({field_id}>={threshold})"
+
+    def _value(self, info_row: int) -> float:
+        if info_row < 0:
+            return np.nan
+        value = self.info.value(self.field_id, info_row)
+        if isinstance(value, list):
+            value = value[0] if value else None
+        if value is None:
+            return np.nan
+        return float(value)
+
+    def mask(self, contig: ContigDB) -> np.ndarray:
+        rows = contig.columns()["row"]
+        values = np.array(
+            [self._value(contig.arena.info_row(int(r))) for r in rows]
+        )
+        with np.errstate(invalid="ignore"):
+            return values >= self.threshold
+
+
+class P7FrequencyFilter(InfoGEQFloatFilter):
+    """Pf7 allele-frequency floor filter (kgl_variant_filter_Pf7.h:61):
+    AF >= threshold; combine with NotFilter of a higher floor for a bin."""
+
+    def __init__(self, info_store, min_freq: float, field_id: str = "AF"):
+        super().__init__(info_store, field_id, min_freq)
+        self.filter_name = f"P7FrequencyFilter(AF>={min_freq})"
+
+
+class VepSubStringFilter(FilterVariants):
+    """Variants with a VEP sub-field containing a substring
+    (VepSubStringFilter, kgl_variant_filter_info.h:86)."""
+
+    def __init__(self, vep, sub_field: str, substring: str):
+        self.vep = vep
+        self.sub_field = sub_field
+        self.substring = substring
+        self.filter_name = f"VepSubStringFilter({sub_field}~{substring})"
+
+    def mask(self, contig: ContigDB) -> np.ndarray:
+        rows = contig.columns()["row"]
+        return np.array([
+            self.vep.contains_substring(
+                contig.arena.info_row(int(r)), self.sub_field, self.substring
+            )
+            for r in rows
+        ], dtype=bool)
 
 
 class GenomeListFilter(FilterPopulations):

@@ -250,3 +250,47 @@ class TestTransforms:
         copy = pop.deep_copy()
         assert copy.variant_count() == pop.variant_count()
         assert copy.genome_count() == pop.genome_count()
+
+
+class TestInfoFilters:
+    def test_info_geq_filter(self, population):
+        from kgl_gene_tpu.variant.filter import InfoGEQFloatFilter, P7FrequencyFilter
+
+        pop, _, info = population
+        deep = pop.view_filter(InfoGEQFloatFilter(info, "DP", 85.0))
+        # Records with DP>=85: rec0 (DP=100) and rec3 (DP=90).
+        offsets = set()
+        deep.process_all(lambda v: offsets.add(v.offset) or True)
+        assert offsets == {55, 10}
+        freq = pop.view_filter(P7FrequencyFilter(info, 0.2))
+        offsets = set()
+        freq.process_all(lambda v: offsets.add(v.offset) or True)
+        # AF >= 0.2: rec0 (0.5) and rec1 (0.25); multiallelic AF list first=0.1.
+        assert offsets == {55, 107}
+
+    def test_vep_substring_filter(self, tmp_path):
+        from kgl_gene_tpu.io.vcf import InfoSchema, InfoStore
+        from kgl_gene_tpu.variant.db import PopulationDB
+        from kgl_gene_tpu.variant.filter import VepSubStringFilter
+        from kgl_gene_tpu.variant.vep import VEPSubFields
+
+        schemas = {"CSQ": InfoSchema("CSQ", ".", "String",
+                                     "Format: Allele|Consequence|Gene")}
+        store = InfoStore(schemas, ["CSQ"])
+        r0 = store.add_record("CSQ=A|missense_variant|G1")
+        r1 = store.add_record("CSQ=A|synonymous_variant|G2")
+        pop = PopulationDB("vep")
+        v0 = Variant(CONTIG_1, 5, VariantPhase.UNPHASED, "",
+                     DNA5SequenceLinear.from_string("A"),
+                     DNA5SequenceLinear.from_string("T"), info_index=r0)
+        v1 = Variant(CONTIG_1, 9, VariantPhase.UNPHASED, "",
+                     DNA5SequenceLinear.from_string("C"),
+                     DNA5SequenceLinear.from_string("G"), info_index=r1)
+        pop.add_variant(v0, ["G"])
+        pop.add_variant(v1, ["G"])
+        vep = VEPSubFields(store)
+        filtered = pop.view_filter(VepSubStringFilter(vep, "Consequence", "missense"))
+        assert filtered.variant_count() == 1
+        kept = []
+        filtered.process_all(lambda v: kept.append(v.offset) or True)
+        assert kept == [5]
