@@ -133,6 +133,28 @@ class PfEMPAnalysis(VirtualAnalysis):
         return True
 
     def finalize_analysis(self) -> bool:
+        # Genetic vs physical distance comparison
+        # (kga_analysis_PfEMP_distance.cpp): for every sample pair present
+        # in BOTH resources, emit published genetic distance alongside the
+        # great-circle separation of the collection sites.
+        if self.pf7_distance is not None and self.pf7_samples is not None:
+            from ..io.resource_parsers import Pf7PhysicalDistance
+
+            physical = Pf7PhysicalDistance(self.pf7_samples)
+            shared = [
+                s for s in self.pf7_distance.sample_ids
+                if s in self.pf7_samples.sample_map
+            ]
+            path = os.path.join(self.work_directory, "pfemp_distance_compare.csv")
+            with open(path, "w") as f:
+                f.write("SampleA,SampleB,GeneticDistance,PhysicalKm\n")
+                for i, sa in enumerate(shared):
+                    for sb in shared[i + 1:]:
+                        genetic = self.pf7_distance.distance(sa, sb)
+                        km = physical.sample_distance_km(sa, sb)
+                        if genetic is not None and km is not None:
+                            f.write(f"{sa},{sb},{genetic:.6g},{km:.1f}\n")
+            log().info("PfEMP: distance comparison written to {}", path)
         log().info("PfEMP complete: {} family transcript reports",
                    len(self.family_reports))
         return True

@@ -246,3 +246,25 @@ class TestVmappedChains:
         # The cold chain's likelihood trend is non-decreasing overall.
         assert trace[-5:].mean() >= trace[:5].mean() - 1.0
         assert np.isfinite(chains.loglike).all()
+
+
+class TestTreeSummary:
+    def test_splits_and_consensus(self):
+        from kgl_gene_tpu.phylo.summary import TreeSummary
+
+        summary = TreeSummary()
+        # 3 trees agreeing on (a,b), 1 disagreeing.
+        for _ in range(3):
+            summary.add_tree(parse_newick("((a:0.1,b:0.1):0.2,(c:0.1,d:0.1):0.2);"))
+        summary.add_tree(parse_newick("((a:0.1,c:0.1):0.2,(b:0.1,d:0.1):0.2);"))
+        freqs = summary.split_frequencies()
+        assert freqs[frozenset(["a", "b"])] == 0.75
+        assert freqs[frozenset(["a", "c"])] == 0.25
+        top = summary.best_topologies()
+        assert abs(top[0][0] - 0.75) < 1e-12
+        consensus = summary.majority_consensus()
+        assert frozenset(["a", "b"]) in {
+            frozenset(l.name for l in n.leaves())
+            for n in consensus.edges() if not n.is_leaf()
+        }
+        assert sorted(consensus.leaf_names) == ["a", "b", "c", "d"]
