@@ -29,6 +29,14 @@ class PhyloNode:
     def is_leaf(self) -> bool:
         return not self.children
 
+    def leaves(self) -> List["PhyloNode"]:
+        if self.is_leaf():
+            return [self]
+        out: List["PhyloNode"] = []
+        for child in self.children:
+            out.extend(child.leaves())
+        return out
+
 
 class PhyloTree:
     """A rooted tree over named leaves."""
