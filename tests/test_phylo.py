@@ -268,3 +268,51 @@ class TestTreeSummary:
             for n in consensus.edges() if not n.is_leaf()
         }
         assert sorted(consensus.leaf_names) == ["a", "b", "c", "d"]
+
+
+class TestPartition:
+    def test_uniform_partition_equals_unpartitioned(self):
+        from kgl_gene_tpu.phylo.partition import (
+            PartitionModel,
+            partition_log_likelihood,
+        )
+
+        rng = np.random.default_rng(0)
+        tree = parse_newick("((a:0.1,b:0.2):0.05,c:0.3);")
+        codes = rng.integers(0, 4, size=(3, 30)).astype(np.uint8)
+        partition = PartitionModel.by_codon_position(30)
+        want = log_likelihood(tree, codes, SubstitutionModel.jc69())
+        got = partition_log_likelihood(tree, codes, partition)
+        assert abs(got - want) < 1e-9  # unit relrates, same JC model
+
+    def test_relrates_normalised(self):
+        from kgl_gene_tpu.phylo.partition import PartitionModel
+
+        partition = PartitionModel.by_codon_position(30, None)
+        partition.relative_rates = np.array([2.0, 1.0, 1.0])
+        partition._normalise()
+        weights = partition._site_weights()
+        assert abs(np.sum(weights * partition.relative_rates) - 1.0) < 1e-12
+
+    def test_subset_relrate_updater(self):
+        import random as _random
+
+        from kgl_gene_tpu.phylo.partition import (
+            PartitionModel,
+            partition_log_likelihood,
+            update_subset_relrates,
+        )
+
+        rng = np.random.default_rng(5)
+        tree = parse_newick("((a:0.1,b:0.2):0.05,c:0.3);")
+        codes = rng.integers(0, 4, size=(3, 60)).astype(np.uint8)
+        partition = PartitionModel.by_codon_position(60)
+        ll = partition_log_likelihood(tree, codes, partition)
+        r = _random.Random(1)
+        accepted = 0
+        for _ in range(10):
+            partition, ll, ok = update_subset_relrates(tree, codes, partition, ll, r)
+            accepted += ok
+            weights = partition._site_weights()
+            assert abs(np.sum(weights * partition.relative_rates) - 1.0) < 1e-9
+        assert np.isfinite(ll)
