@@ -96,7 +96,11 @@ def _levenshtein_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref,
         b_roll[:] = pltpu.roll(b_roll[:], 1, 1)
         return 0
 
-    jax.lax.fori_loop(2, 2 * M + 1, body, 0)
+    # Dynamic termination: once the wavefront passes every pair's
+    # (la, lb) the remaining diagonals are dead work — significant when the
+    # bucketed W pads well beyond the actual lengths.
+    d_max = jnp.minimum(jnp.max(len_a_ref[:, 0] + len_b_ref[:, 0]), 2 * M) + 1
+    jax.lax.fori_loop(2, d_max, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_len", "interpret", "use_int16"))
