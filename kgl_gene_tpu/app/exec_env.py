@@ -93,6 +93,11 @@ class GeneExecEnv:
         if not self.args or not self.args.option_file:
             log().info("no option file given; nothing to execute")
             return
+        # Importing the analysis package populates the static factory map
+        # (the reference registers plugins in a static map at link time,
+        # kga_analytic/kga_analysis_factory.cpp:31-41; in Python the import
+        # is the registration step).
+        from .. import analysis  # noqa: F401
         self.runtime = RuntimeProperties.read_properties(self.args.option_file)
         if self.args.work_directory != ".":
             self.runtime.work_directory = self.args.work_directory

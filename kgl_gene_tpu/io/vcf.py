@@ -19,6 +19,7 @@ INFO columns). Decompression runs on the host BGZF thread pool.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -276,6 +277,45 @@ class InfoStore:
                 self._scalar_int[fid] = []
             else:
                 self._objects[fid] = []
+
+    def split_native_fields(self) -> Tuple[List[str], List[str], List[str]]:
+        """Partition subscribed fields into (numeric scalars, flags, objects)
+        for the native columnar parser. Order is deterministic."""
+        numeric: List[str] = []
+        flags: List[str] = []
+        objects: List[str] = []
+        for fid in sorted(self.subscribed):
+            if fid in self._flags:
+                flags.append(fid)
+            elif fid in self._scalar_float or fid in self._scalar_int:
+                numeric.append(fid)
+            else:
+                objects.append(fid)
+        return numeric, flags, objects
+
+    def load_native_columns(
+        self,
+        numeric_fields: Sequence[str],
+        numeric_cols: np.ndarray,
+        flag_fields: Sequence[str],
+        flag_cols: np.ndarray,
+        object_fields: Sequence[str],
+        object_cols: Dict[str, List],
+        count: int,
+    ) -> None:
+        """Adopt columns produced by the native record parser (bulk path;
+        add_record must not be mixed in afterwards)."""
+        for i, fid in enumerate(numeric_fields):
+            col = numeric_cols[i]
+            if fid in self._scalar_float:
+                self._scalar_float[fid] = col
+            else:
+                self._scalar_int[fid] = col
+        for i, fid in enumerate(flag_fields):
+            self._flags[fid] = flag_cols[i]
+        for fid in object_fields:
+            self._objects[fid] = object_cols[fid]
+        self.count = count
 
     def add_record(self, info_text: str) -> int:
         """Parse one INFO string; returns the record's info row index."""
@@ -642,6 +682,271 @@ class PhasedDiploidParser(_BaseVCFParser):
 
 
 # --------------------------------------------------------------------------- #
+# native end-to-end ingest (records never touch Python)
+# --------------------------------------------------------------------------- #
+_NATIVE_MODES = {"PF_DIPLOID": 0, "PHASED_DIPLOID": 1, "MONO_GENOME": 2}
+# Whole-file native parse is gated on the compressed file size fitting
+# comfortably in host RAM; larger files use the streaming Python loop.
+_NATIVE_MAX_BYTES = int(os.environ.get("KGT_NATIVE_INGEST_MAX_BYTES", 2 << 30))
+
+
+def _read_whole_bytes(path: str) -> Optional[bytes]:
+    """Read the entire (decompressed) file as bytes, None if unsupported."""
+    import bz2 as _bz2
+    import gzip as _gzip
+
+    from .streams import BGZFReader, is_bgzf
+
+    lower = path.lower()
+    if lower.endswith((".bgz", ".bgzf")) or (lower.endswith(".gz") and is_bgzf(path)):
+        from ..native import bgzf_decompress
+
+        data = bgzf_decompress(path)
+        if data is not None:
+            return data
+        with BGZFReader(path) as reader:
+            return reader.read()
+    if lower.endswith(".gz"):
+        with _gzip.open(path, "rb") as f:
+            return f.read()
+    if lower.endswith(".bz2"):
+        with _bz2.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _native_parse_population(
+    path: str,
+    population_id: str,
+    parser_type: str,
+    subscribed_info: Optional[Sequence[str]],
+    contig_alias,
+    genome_name: Optional[str],
+) -> Optional[Tuple[PopulationDB, VCFHeader, InfoStore]]:
+    """End-to-end native ingest: the whole VCF body is tokenised by the C++
+    record loop (kgl_gene_tpu/native/kgt_native.cpp, the TPU-era analogue of
+    the reference's 50-thread consumer pool,
+    kgl_variant_factory_readvcf_impl.h:45) and lands as columnar arrays;
+    Python only interns unique alleles (one step per record, not per
+    genotype cell). Returns None when the fast path doesn't apply."""
+    from ..native import native_available, parse_vcf_records
+
+    mode = _NATIVE_MODES.get(parser_type)
+    if mode is None or not native_available():
+        return None
+    try:
+        if os.path.getsize(path) > _NATIVE_MAX_BYTES:
+            return None
+    except OSError:
+        return None
+    text = _read_whole_bytes(path)
+    if text is None:
+        return None
+
+    # --- header (small, parsed in Python) ---------------------------------
+    header = VCFHeader()
+    body_start = 0
+    pos = 0
+    n = len(text)
+    while pos < n and text[pos : pos + 1] == b"#":
+        nl = text.find(b"\n", pos)
+        line_end = n if nl < 0 else nl
+        line = text[pos:line_end].decode("ascii", "replace").rstrip("\r")
+        if line.startswith("##"):
+            _parse_header_line(line, header)
+        elif line.startswith("#CHROM"):
+            fields = line.split("\t")
+            header.genome_names = fields[9:] if len(fields) > 9 else []
+        pos = line_end + 1
+        body_start = min(pos, n)
+
+    info_store = InfoStore(header.info_fields, subscribed_info)
+    numeric_fields, flag_fields, object_fields = info_store.split_native_fields()
+    genome_names = header.genome_names
+    n_samples = len(genome_names)
+
+    res = parse_vcf_records(
+        bytes(text), body_start, n_samples, mode, numeric_fields, flag_fields
+    )
+    if res is None:
+        return None
+
+    population = PopulationDB(population_id, parser_type)
+    if mode == 0:
+        # Pre-create every sample genome (PfVCFImpl::setupPopulationStructure).
+        for name in genome_names:
+            population.get_create_genome(name)
+
+    R = res["n_records"]
+    if res["bad_records"]:
+        log().warn("VCF {}: {} malformed records skipped", path, res["bad_records"])
+    if res["ad_mismatch"]:
+        log().error(
+            "VCF {}: {} genotype cells with AD depth count != allele count",
+            path, res["ad_mismatch"],
+        )
+
+    # --- INFO columns ------------------------------------------------------
+    object_cols: Dict[str, List] = {}
+    if object_fields:
+        info_s, info_e = res["rec_info_start"], res["rec_info_end"]
+        object_cols = {fid: [] for fid in object_fields}
+        for r in range(R):
+            info_text = text[info_s[r] : info_e[r]].decode("ascii", "replace")
+            parsed: Dict[str, str] = {}
+            if info_text and info_text != MISSING:
+                for item in info_text.split(";"):
+                    if not item:
+                        continue
+                    if "=" in item:
+                        k, v = item.split("=", 1)
+                        parsed[k] = v
+                    else:
+                        parsed[item] = ""
+            for fid in object_fields:
+                object_cols[fid].append(
+                    info_store._parse_object(fid, parsed.get(fid))
+                )
+    info_store.load_native_columns(
+        numeric_fields, res["info_numeric"], flag_fields, res["info_flags"],
+        object_fields, object_cols, R,
+    )
+
+    # --- allele interning (one Python step per carrier record) -------------
+    text_np = np.frombuffer(text, dtype=np.uint8)
+    lut = DNA5.CHAR_TO_CODE
+    contig_names = [
+        text[res["contig_start"][c] : res["contig_end"][c]].decode("ascii")
+        for c in range(res["n_contigs"])
+    ]
+    if contig_alias is not None:
+        contig_names = [contig_alias.lookup(c) for c in contig_names]
+
+    A = res["n_alts"]
+    row_start = res["alt_row_start"]
+    alt_s, alt_e = res["alt_start"], res["alt_end"]
+    needed = np.zeros(A, dtype=bool)
+    if mode == 2:
+        # every well-formed alt becomes a variant of the single genome
+        alt_len = alt_e - alt_s
+        needed[:] = alt_len > 0
+        one_base = np.nonzero(alt_len == 1)[0]
+        bad = (text_np[alt_s[one_base]] == ord("*")) | (
+            text_np[alt_s[one_base]] == ord(".")
+        )
+        needed[one_base[bad]] = False
+    else:
+        if res["n_incidences"]:
+            needed[row_start[res["inc_record"]] + res["inc_allele"] - 1] = True
+
+    rows = np.full(A, -1, dtype=np.int64)
+    if A and needed.any():
+        rec_has = np.maximum.reduceat(needed.astype(np.int8), row_start[:-1]) > 0
+        intern = population.arena.intern
+        rec_contig = res["rec_contig"]
+        rec_pos = res["rec_pos"]
+        id_s, id_e = res["rec_id_start"], res["rec_id_end"]
+        ref_s, ref_e = res["rec_ref_start"], res["rec_ref_end"]
+        for r in np.nonzero(rec_has)[0]:
+            ref_codes = lut[text_np[ref_s[r] : ref_e[r]]]
+            ident = (
+                text[id_s[r] : id_e[r]].decode("ascii") if id_e[r] > id_s[r] else ""
+            )
+            cname = contig_names[rec_contig[r]]
+            offset = int(rec_pos[r])
+            for a in range(row_start[r], row_start[r + 1]):
+                if needed[a]:
+                    rows[a] = intern(
+                        cname, offset, ref_codes,
+                        lut[text_np[alt_s[a] : alt_e[a]]], ident, int(r),
+                    )
+
+    # --- incidence landing: bulk column blocks per (genome, contig) --------
+    variant_count = 0
+    if mode == 2:
+        inc_alt = np.nonzero(needed)[0]
+        if len(inc_alt):
+            counts = np.diff(row_start)
+            inc_rec = np.repeat(np.arange(R, dtype=np.int64), counts)[inc_alt]
+            genome = population.get_create_genome(genome_name or population_id)
+            cols = {
+                "row": rows[inc_alt],
+                "phase": np.full(len(inc_alt), int(VariantPhase.UNPHASED), np.uint8),
+                "ref_count": np.zeros(len(inc_alt), np.int64),
+                "alt_count": np.zeros(len(inc_alt), np.int64),
+                "dp": np.zeros(len(inc_alt), np.int64),
+                "gq": np.zeros(len(inc_alt), np.float32),
+                "quality": res["rec_qual"][inc_rec].astype(np.float32),
+                "pass": res["rec_pass"][inc_rec],
+                "contig": res["rec_contig"][inc_rec],
+            }
+            variant_count = _land_blocks(genome, None, cols, contig_names)
+    elif res["n_incidences"]:
+        inc_rec = res["inc_record"].astype(np.int64)
+        cols = {
+            "row": rows[row_start[inc_rec] + res["inc_allele"] - 1],
+            "phase": res["inc_phase"],
+            "ref_count": res["inc_ref_count"].astype(np.int64),
+            "alt_count": res["inc_alt_count"].astype(np.int64),
+            "dp": res["inc_dp"].astype(np.int64),
+            "gq": res["inc_gq"],
+            "quality": res["rec_qual"][inc_rec].astype(np.float32),
+            "pass": res["rec_pass"][inc_rec],
+            "contig": res["rec_contig"][inc_rec],
+        }
+        variant_count = _land_blocks(
+            population, res["inc_sample"], cols, contig_names,
+            genome_names=genome_names,
+        )
+
+    log().info(
+        "VCF {} [native]: parsed {} records -> {} variant incidences, {} genomes",
+        path, R, variant_count, population.genome_count(),
+    )
+    return population, header, info_store
+
+
+def _land_blocks(target, samples: Optional[np.ndarray], cols: dict,
+                 contig_names: List[str], genome_names: Optional[List[str]] = None) -> int:
+    """Bulk-append incidence columns grouped by (sample, contig). `target`
+    is a GenomeDB when samples is None, else a PopulationDB."""
+    n = len(cols["row"])
+    if n == 0:
+        return 0
+    contig = cols["contig"].astype(np.int64)
+    if samples is None:
+        order = np.argsort(contig, kind="stable")
+        key = contig[order]
+    else:
+        samp = samples.astype(np.int64)
+        order = np.lexsort((contig, samp))  # stable: record order kept in ties
+        key = samp[order] * (int(contig.max()) + 1) + contig[order]
+    sorted_cols = {k: v[order] for k, v in cols.items()}
+    bounds = np.concatenate(([0], np.nonzero(np.diff(key))[0] + 1, [n]))
+    for b in range(len(bounds) - 1):
+        i, j = int(bounds[b]), int(bounds[b + 1])
+        cname = contig_names[int(sorted_cols["contig"][i])]
+        if samples is None:
+            genome = target
+        else:
+            genome = target.get_create_genome(
+                genome_names[int(samples[order[i]])]
+            )
+        genome.get_create_contig(cname).add_incidence_block(
+            sorted_cols["row"][i:j],
+            sorted_cols["phase"][i:j],
+            sorted_cols["ref_count"][i:j],
+            sorted_cols["alt_count"][i:j],
+            sorted_cols["dp"][i:j],
+            sorted_cols["gq"][i:j],
+            sorted_cols["quality"][i:j],
+            sorted_cols["pass"][i:j],
+        )
+    return n
+
+
+# --------------------------------------------------------------------------- #
 # top-level convenience
 # --------------------------------------------------------------------------- #
 _PARSERS = {
@@ -657,9 +962,25 @@ def parse_vcf_population(
     subscribed_info: Optional[Sequence[str]] = None,
     contig_alias=None,
     genome_name: Optional[str] = None,
+    use_native: Optional[bool] = None,
 ) -> Tuple[PopulationDB, VCFHeader, InfoStore]:
     """Parse a VCF into a PopulationDB (ParserSelection::parseData analogue,
-    kgl_parser/kgl_variant_factory_parsers.cpp:27-73)."""
+    kgl_parser/kgl_variant_factory_parsers.cpp:27-73).
+
+    use_native: None (auto) tries the end-to-end C++ record loop first and
+    falls back to the streaming Python loop; False forces the streaming
+    path; True requires the native path (raises if unavailable)."""
+    if use_native is not False:
+        native = _native_parse_population(
+            path, population_id, parser_type, subscribed_info, contig_alias,
+            genome_name,
+        )
+        if native is not None:
+            return native
+        if use_native:
+            raise RuntimeError(
+                f"native VCF ingest unavailable for {path} (parser {parser_type})"
+            )
     header, records = read_vcf(path)
     population = PopulationDB(population_id, parser_type)
     # info store needs header INFO schemas; read_vcf fills the header while

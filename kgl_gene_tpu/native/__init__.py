@@ -17,7 +17,50 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_available", "bgzf_decompress", "parse_genotypes"]
+__all__ = [
+    "native_available", "bgzf_decompress", "parse_genotypes",
+    "parse_vcf_records",
+]
+
+
+class _KgtVcfResult(ctypes.Structure):
+    """Mirror of KgtVcfResult in kgt_native.cpp (field order must match)."""
+
+    _fields_ = [
+        ("n_records", ctypes.c_int64),
+        ("n_alts", ctypes.c_int64),
+        ("n_incidences", ctypes.c_int64),
+        ("n_contigs", ctypes.c_int64),
+        ("n_numeric", ctypes.c_int64),
+        ("n_flags", ctypes.c_int64),
+        ("ad_mismatch", ctypes.c_int64),
+        ("bad_records", ctypes.c_int64),
+        ("rec_contig", ctypes.POINTER(ctypes.c_int32)),
+        ("rec_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("rec_qual", ctypes.POINTER(ctypes.c_float)),
+        ("rec_pass", ctypes.POINTER(ctypes.c_uint8)),
+        ("rec_id_start", ctypes.POINTER(ctypes.c_int64)),
+        ("rec_id_end", ctypes.POINTER(ctypes.c_int64)),
+        ("rec_ref_start", ctypes.POINTER(ctypes.c_int64)),
+        ("rec_ref_end", ctypes.POINTER(ctypes.c_int64)),
+        ("rec_info_start", ctypes.POINTER(ctypes.c_int64)),
+        ("rec_info_end", ctypes.POINTER(ctypes.c_int64)),
+        ("alt_row_start", ctypes.POINTER(ctypes.c_int64)),
+        ("alt_start", ctypes.POINTER(ctypes.c_int64)),
+        ("alt_end", ctypes.POINTER(ctypes.c_int64)),
+        ("contig_start", ctypes.POINTER(ctypes.c_int64)),
+        ("contig_end", ctypes.POINTER(ctypes.c_int64)),
+        ("inc_record", ctypes.POINTER(ctypes.c_int32)),
+        ("inc_sample", ctypes.POINTER(ctypes.c_int32)),
+        ("inc_allele", ctypes.POINTER(ctypes.c_int32)),
+        ("inc_phase", ctypes.POINTER(ctypes.c_uint8)),
+        ("inc_ref_count", ctypes.POINTER(ctypes.c_int32)),
+        ("inc_alt_count", ctypes.POINTER(ctypes.c_int32)),
+        ("inc_dp", ctypes.POINTER(ctypes.c_int32)),
+        ("inc_gq", ctypes.POINTER(ctypes.c_float)),
+        ("info_numeric", ctypes.POINTER(ctypes.c_double)),
+        ("info_flags", ctypes.POINTER(ctypes.c_uint8)),
+    ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCE = os.path.join(_HERE, "kgt_native.cpp")
@@ -72,6 +115,12 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.kgt_count_lines.restype = ctypes.c_long
         lib.kgt_count_lines.argtypes = [ctypes.c_char_p, ctypes.c_long]
+        lib.kgt_vcf_parse_records.restype = ctypes.POINTER(_KgtVcfResult)
+        lib.kgt_vcf_parse_records.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.kgt_vcf_result_free.argtypes = [ctypes.POINTER(_KgtVcfResult)]
         _lib = lib
         return _lib
 
@@ -130,3 +179,79 @@ def parse_genotypes(
     if parsed != n_samples:
         return None
     return gt_a, gt_b, ad.reshape(n_samples, n_alleles + 1), dp, gq, ad_count
+
+
+def _copy_col(ptr, n: int, dtype) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+
+
+def parse_vcf_records(
+    text: bytes,
+    body_start: int,
+    n_samples: int,
+    mode: int,
+    numeric_fields: "list[str]" = (),
+    flag_fields: "list[str]" = (),
+    threads: int = 0,
+) -> Optional[dict]:
+    """End-to-end C++ VCF record-loop parse (the reference's 50-thread
+    native consumer pool, kgl_variant_factory_readvcf_impl.h:45). Returns a
+    dict of flat numpy columns; strings are [start, end) offsets into
+    ``text``. Modes: 0 Pf diploid, 1 phased diploid, 2 mono-genome."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    if threads <= 0:
+        threads = max((os.cpu_count() or 2), 1)
+    res_ptr = lib.kgt_vcf_parse_records(
+        text, len(text), body_start, n_samples, mode,
+        "\n".join(numeric_fields).encode(), "\n".join(flag_fields).encode(),
+        threads,
+    )
+    if not res_ptr:
+        return None
+    try:
+        res = res_ptr.contents
+        R, A, I, C = res.n_records, res.n_alts, res.n_incidences, res.n_contigs
+        out = {
+            "n_records": R, "n_alts": A, "n_incidences": I, "n_contigs": C,
+            "ad_mismatch": res.ad_mismatch, "bad_records": res.bad_records,
+            "rec_contig": _copy_col(res.rec_contig, R, np.int32),
+            "rec_pos": _copy_col(res.rec_pos, R, np.int64),
+            "rec_qual": _copy_col(res.rec_qual, R, np.float32),
+            "rec_pass": _copy_col(res.rec_pass, R, np.uint8).astype(bool),
+            "rec_id_start": _copy_col(res.rec_id_start, R, np.int64),
+            "rec_id_end": _copy_col(res.rec_id_end, R, np.int64),
+            "rec_ref_start": _copy_col(res.rec_ref_start, R, np.int64),
+            "rec_ref_end": _copy_col(res.rec_ref_end, R, np.int64),
+            "rec_info_start": _copy_col(res.rec_info_start, R, np.int64),
+            "rec_info_end": _copy_col(res.rec_info_end, R, np.int64),
+            "alt_row_start": _copy_col(res.alt_row_start, R + 1, np.int64),
+            "alt_start": _copy_col(res.alt_start, A, np.int64),
+            "alt_end": _copy_col(res.alt_end, A, np.int64),
+            "contig_start": _copy_col(res.contig_start, C, np.int64),
+            "contig_end": _copy_col(res.contig_end, C, np.int64),
+            "inc_record": _copy_col(res.inc_record, I, np.int32),
+            "inc_sample": _copy_col(res.inc_sample, I, np.int32),
+            "inc_allele": _copy_col(res.inc_allele, I, np.int32),
+            "inc_phase": _copy_col(res.inc_phase, I, np.uint8),
+            "inc_ref_count": _copy_col(res.inc_ref_count, I, np.int32),
+            "inc_alt_count": _copy_col(res.inc_alt_count, I, np.int32),
+            "inc_dp": _copy_col(res.inc_dp, I, np.int32),
+            "inc_gq": _copy_col(res.inc_gq, I, np.float32),
+        }
+        n_num, n_flag = res.n_numeric, res.n_flags
+        out["info_numeric"] = (
+            _copy_col(res.info_numeric, n_num * R, np.float64).reshape(n_num, R)
+            if n_num else np.empty((0, R), dtype=np.float64)
+        )
+        out["info_flags"] = (
+            _copy_col(res.info_flags, n_flag * R, np.uint8)
+            .reshape(n_flag, R).astype(bool)
+            if n_flag else np.empty((0, R), dtype=bool)
+        )
+        return out
+    finally:
+        lib.kgt_vcf_result_free(res_ptr)

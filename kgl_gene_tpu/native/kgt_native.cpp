@@ -10,12 +10,14 @@
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 // Build: g++ -O3 -march=native -shared -fPIC -o libkgt_native.so kgt_native.cpp -lz -lpthread
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
 #include <future>
+#include <limits>
 #include <string>
 #include <thread>
 #include <vector>
@@ -80,6 +82,48 @@ bool inflate_block(const BgzfBlock& block, uint8_t* out) {
   int rc = inflate(&zs, Z_FINISH);
   inflateEnd(&zs);
   return rc == Z_STREAM_END && zs.total_out == block.isize;
+}
+
+// Parse a GT field into allele parts, matching io/vcf.py::_parse_gt
+// exactly: '|' anywhere selects the phased separator, '.' or empty tokens
+// become allele 0, any other non-digit content invalidates the whole field
+// (Python returns None -> the sample is skipped). Returns the part count,
+// or -1 for missing/invalid GT. Shared by the per-record genotype tokenizer
+// and the end-to-end record-loop parser so the two paths can never diverge.
+constexpr int kMaxGtParts = 8;
+
+inline int parse_gt_parts(const char* p, const char* end, int64_t* parts,
+                          bool& phased) {
+  phased = false;
+  if (p >= end) return -1;                    // empty -> skip sample
+  if (end - p == 1 && *p == '.') return -1;   // '.' -> skip sample
+  for (const char* q = p; q < end; ++q) {
+    if (*q == '|') {
+      phased = true;
+      break;
+    }
+  }
+  const char sep = phased ? '|' : '/';
+  int n = 0;
+  const char* tok = p;
+  for (const char* q = p;; ++q) {
+    if (q == end || *q == sep) {
+      if (n >= kMaxGtParts) return -1;
+      int64_t v = 0;
+      if (q == tok || (q - tok == 1 && *tok == '.')) {
+        v = 0;  // missing token -> ref allele (parity with _parse_gt)
+      } else {
+        for (const char* c = tok; c < q; ++c) {
+          if (*c < '0' || *c > '9') return -1;  // non-digit -> skip sample
+          v = v * 10 + (*c - '0');
+        }
+      }
+      parts[n++] = v;
+      if (q == end) break;
+      tok = q + 1;
+    }
+  }
+  return n;
 }
 
 }  // namespace
@@ -177,28 +221,16 @@ int kgt_vcf_parse_genotypes(const char* text, long len, int n_samples,
       bool at_end = (p >= end) || (*p == '\t') || (*p == '\n');
       if (at_end || *p == ':') {
         long flen = p - fstart;
-        if (field == gt_idx && flen > 0 && !(flen == 1 && *fstart == '.')) {
-          // parse a[/|]b
-          const char* q = fstart;
-          long a_val = -1, b_val = -1;
-          if (*q >= '0' && *q <= '9') {
-            a_val = 0;
-            while (q < fstart + flen && *q >= '0' && *q <= '9')
-              a_val = a_val * 10 + (*q++ - '0');
-          } else if (*q == '.') {
-            ++q;
-            a_val = -1;
+        if (field == gt_idx && flen > 0) {
+          // diploid 'a[/|]b' only — any other GT shape leaves -1/-1 so the
+          // sample is skipped (parity with io/vcf.py::_parse_gt + the
+          // PfDiploidParser's len==2 requirement).
+          int64_t parts[kMaxGtParts];
+          bool phased = false;
+          if (parse_gt_parts(fstart, fstart + flen, parts, phased) == 2) {
+            gt_a[sample] = static_cast<int32_t>(parts[0]);
+            gt_b[sample] = static_cast<int32_t>(parts[1]);
           }
-          if (q < fstart + flen && (*q == '/' || *q == '|')) {
-            ++q;
-            if (q < fstart + flen && *q >= '0' && *q <= '9') {
-              b_val = 0;
-              while (q < fstart + flen && *q >= '0' && *q <= '9')
-                b_val = b_val * 10 + (*q++ - '0');
-            }
-          }
-          gt_a[sample] = static_cast<int32_t>(a_val);
-          gt_b[sample] = static_cast<int32_t>(b_val);
         } else if (field == ad_idx && flen > 0 && *fstart != '.') {
           const char* q = fstart;
           int slot = 0;
@@ -245,6 +277,607 @@ long kgt_count_lines(const char* text, long len) {
   for (long i = 0; i < len; ++i)
     if (text[i] == '\n') ++count;
   return count;
+}
+
+// ---------------------------------------------------------------------------
+// End-to-end VCF record-loop parser.
+//
+// The reference runs the record loop on 50 native consumer threads
+// (kgl_parser/kgl_variant_factory_readvcf_impl.h:45,
+//  kgl_variant_factory_pf_impl.cpp:56-380); this is the equivalent: the
+// entire body of a VCF (every data line after the header) is tokenised in
+// C++ and lands as flat columnar arrays — records never touch Python.
+// Strings (contig/id/ref/alt/info) are returned as [start,end) offsets into
+// the caller's text buffer (zero copy).
+//
+// Modes: 0 = Pf diploid GT+AD+DP+GQ incidences (unphased, hom alt emits TWO
+//            incidences, '*'/zero-depth skipped, AD width must be
+//            n_alleles+1);
+//        1 = phased diploid (1000G): GT only, a|b -> phase A/B incidences;
+//        2 = mono-genome (gnomAD): fixed fields + INFO only, no genotypes.
+// ---------------------------------------------------------------------------
+
+struct KgtVcfResult {
+  int64_t n_records;
+  int64_t n_alts;
+  int64_t n_incidences;
+  int64_t n_contigs;
+  int64_t n_numeric;
+  int64_t n_flags;
+  int64_t ad_mismatch;
+  int64_t bad_records;
+  // per-record columns [n_records]
+  int32_t* rec_contig;
+  int64_t* rec_pos;   // 0-based offset (VCF POS - 1)
+  float* rec_qual;
+  uint8_t* rec_pass;
+  int64_t* rec_id_start;
+  int64_t* rec_id_end;
+  int64_t* rec_ref_start;
+  int64_t* rec_ref_end;
+  int64_t* rec_info_start;
+  int64_t* rec_info_end;
+  int64_t* alt_row_start;  // [n_records + 1] CSR into alt arrays
+  // per-alt [n_alts]
+  int64_t* alt_start;
+  int64_t* alt_end;
+  // contig name table [n_contigs]
+  int64_t* contig_start;
+  int64_t* contig_end;
+  // per-incidence [n_incidences]
+  int32_t* inc_record;
+  int32_t* inc_sample;
+  int32_t* inc_allele;   // 1-based alt allele number
+  uint8_t* inc_phase;    // 255 unphased, 1 phase A, 2 phase B
+  int32_t* inc_ref_count;
+  int32_t* inc_alt_count;
+  int32_t* inc_dp;
+  float* inc_gq;
+  // subscribed INFO scalar columns, field-major [n_numeric/_flags][n_records]
+  double* info_numeric;
+  uint8_t* info_flags;
+};
+
+}  // extern "C"
+
+namespace {
+
+struct StrRange {
+  int64_t start = 0;
+  int64_t end = 0;
+};
+
+struct RecordRow {
+  StrRange contig, id, ref, info;
+  int64_t pos = 0;
+  float qual = 0.0f;
+  uint8_t pass = 1;
+  int32_t n_alts = 0;
+};
+
+struct ThreadOut {
+  std::vector<RecordRow> records;
+  std::vector<StrRange> alts;
+  std::vector<int32_t> inc_record;  // record index LOCAL to this thread
+  std::vector<int32_t> inc_sample;
+  std::vector<int32_t> inc_allele;
+  std::vector<uint8_t> inc_phase;
+  std::vector<int32_t> inc_ref_count;
+  std::vector<int32_t> inc_alt_count;
+  std::vector<int32_t> inc_dp;
+  std::vector<float> inc_gq;
+  std::vector<std::vector<double>> numeric;  // per subscribed numeric field
+  std::vector<std::vector<uint8_t>> flags;
+  int64_t ad_mismatch = 0;
+  int64_t bad_records = 0;
+};
+
+inline bool span_eq(const char* text, const StrRange& r, const char* lit) {
+  int64_t n = r.end - r.start;
+  return static_cast<int64_t>(std::strlen(lit)) == n &&
+         std::memcmp(text + r.start, lit, n) == 0;
+}
+
+// Parse a non-negative integer; returns -1 on any non-digit.
+inline int64_t parse_uint(const char* p, const char* end) {
+  if (p >= end) return -1;
+  int64_t v = 0;
+  for (; p < end; ++p) {
+    if (*p < '0' || *p > '9') return -1;
+    v = v * 10 + (*p - '0');
+  }
+  return v;
+}
+
+// Split subscribed field-name list ('\n'-joined) into string views.
+std::vector<std::string> split_names(const char* joined) {
+  std::vector<std::string> out;
+  if (!joined || !*joined) return out;
+  const char* p = joined;
+  const char* start = p;
+  for (;; ++p) {
+    if (*p == '\n' || *p == '\0') {
+      if (p > start) out.emplace_back(start, p - start);
+      if (*p == '\0') break;
+      start = p + 1;
+    }
+  }
+  return out;
+}
+
+// Parse one data line into thread-local output. Returns false on a
+// malformed line (counted, skipped) — mirrors _parse_record_line's
+// warn-and-skip (io/vcf.py).
+bool parse_line(const char* text, int64_t line_start, int64_t line_end,
+                int n_samples, int mode,
+                const std::vector<std::string>& numeric_names,
+                const std::vector<std::string>& flag_names, ThreadOut& out) {
+  // split fixed fields
+  StrRange fields[9];
+  int n_fields = 0;
+  int64_t pos = line_start;
+  int64_t fstart = line_start;
+  while (pos <= line_end && n_fields < 9) {
+    if (pos == line_end || text[pos] == '\t') {
+      fields[n_fields].start = fstart;
+      fields[n_fields].end = pos;
+      ++n_fields;
+      fstart = pos + 1;
+      if (pos == line_end) break;
+    }
+    ++pos;
+  }
+  if (n_fields < 8) return false;
+  int64_t vcf_pos =
+      parse_uint(text + fields[1].start, text + fields[1].end);
+  if (vcf_pos < 0) return false;
+
+  RecordRow rec;
+  rec.contig = fields[0];
+  rec.pos = vcf_pos - 1;
+  rec.id = fields[2];
+  if (span_eq(text, rec.id, ".")) rec.id.end = rec.id.start;
+  rec.ref = fields[3];
+  rec.info = fields[7];
+  // QUAL: '.'/'' -> 0; strtof stops at non-numeric -> Python float() would
+  // raise; require full consumption else 0 (ValueError -> 0.0 parity).
+  {
+    const StrRange& q = fields[5];
+    if (q.end > q.start && !span_eq(text, q, ".")) {
+      char buf[64];
+      int64_t n = q.end - q.start;
+      if (n < 63) {
+        std::memcpy(buf, text + q.start, n);
+        buf[n] = '\0';
+        char* endp = nullptr;
+        float v = std::strtof(buf, &endp);
+        if (endp == buf + n) rec.qual = v;
+      }
+    }
+  }
+  {
+    const StrRange& f = fields[6];
+    rec.pass = (f.end == f.start || span_eq(text, f, "PASS") ||
+                span_eq(text, f, "."))
+                   ? 1
+                   : 0;
+  }
+  // ALT comma split
+  int64_t alt_first = static_cast<int64_t>(out.alts.size());
+  {
+    int64_t astart = fields[4].start;
+    for (int64_t i = fields[4].start; i <= fields[4].end; ++i) {
+      if (i == fields[4].end || text[i] == ',') {
+        out.alts.push_back({astart, i});
+        ++rec.n_alts;
+        astart = i + 1;
+      }
+    }
+  }
+  int n_alleles = rec.n_alts;
+
+  // INFO subscribed scalar fields
+  if (!numeric_names.empty() || !flag_names.empty()) {
+    size_t nn = numeric_names.size(), nf = flag_names.size();
+    std::vector<double> num_vals(nn,
+                                 std::numeric_limits<double>::quiet_NaN());
+    std::vector<uint8_t> flag_vals(nf, 0);
+    int64_t istart = rec.info.start;
+    bool is_missing = span_eq(text, rec.info, ".");
+    if (!is_missing) {
+      for (int64_t i = rec.info.start; i <= rec.info.end; ++i) {
+        if (i == rec.info.end || text[i] == ';') {
+          if (i > istart) {
+            // key[=value]
+            int64_t eq = istart;
+            while (eq < i && text[eq] != '=') ++eq;
+            int64_t klen = eq - istart;
+            for (size_t f = 0; f < nf; ++f) {
+              if (static_cast<int64_t>(flag_names[f].size()) == klen &&
+                  std::memcmp(text + istart, flag_names[f].data(), klen) == 0)
+                flag_vals[f] = 1;
+            }
+            for (size_t f = 0; f < nn; ++f) {
+              if (static_cast<int64_t>(numeric_names[f].size()) == klen &&
+                  std::memcmp(text + istart, numeric_names[f].data(), klen) ==
+                      0 &&
+                  eq < i) {
+                int64_t vstart = eq + 1, vend = i;
+                int64_t n = vend - vstart;
+                if (n > 0 && !(n == 1 && text[vstart] == '.')) {
+                  char buf[64];
+                  if (n < 63) {
+                    std::memcpy(buf, text + vstart, n);
+                    buf[n] = '\0';
+                    char* endp = nullptr;
+                    double v = std::strtod(buf, &endp);
+                    if (endp == buf + n) num_vals[f] = v;
+                  }
+                }
+              }
+            }
+          }
+          istart = i + 1;
+        }
+      }
+    }
+    for (size_t f = 0; f < nn; ++f) out.numeric[f].push_back(num_vals[f]);
+    for (size_t f = 0; f < nf; ++f) out.flags[f].push_back(flag_vals[f]);
+  }
+
+  int32_t local_rec = static_cast<int32_t>(out.records.size());
+  out.records.push_back(rec);
+
+  if (mode == 2 || n_samples == 0) return true;
+
+  // FORMAT indices
+  int gt_idx = -1, ad_idx = -1, dp_idx = -1, gq_idx = -1;
+  if (n_fields >= 9) {
+    int idx = 0;
+    int64_t s = fields[8].start;
+    for (int64_t i = fields[8].start; i <= fields[8].end; ++i) {
+      if (i == fields[8].end || text[i] == ':') {
+        int64_t n = i - s;
+        if (n == 2 && text[s] == 'G' && text[s + 1] == 'T') gt_idx = idx;
+        else if (n == 2 && text[s] == 'A' && text[s + 1] == 'D') ad_idx = idx;
+        else if (n == 2 && text[s] == 'D' && text[s + 1] == 'P') dp_idx = idx;
+        else if (n == 2 && text[s] == 'G' && text[s + 1] == 'Q') gq_idx = idx;
+        ++idx;
+        s = i + 1;
+      }
+    }
+  }
+  if (gt_idx < 0) return true;                 // record kept, no genotypes
+  if (mode == 0 && ad_idx < 0) return true;    // Pf requires AD
+
+  // genotype columns start after the 9th tab
+  int64_t gpos = fields[8].end + 1;
+  if (gpos > line_end) return true;
+
+  int ad_width = n_alleles + 1;
+  std::vector<int32_t> ad(ad_width);
+  const char* t = text;
+  int64_t p = gpos;
+  for (int sample = 0; sample < n_samples && p <= line_end; ++sample) {
+    // one tab-delimited genotype column, ':'-split fields
+    int64_t gt_parts[kMaxGtParts];
+    int n_gt = -1;
+    bool phased = false;
+    int32_t dp = 0;
+    float gq = 0.0f;
+    int ad_slots = 0;
+    std::fill(ad.begin(), ad.end(), 0);
+    int field = 0;
+    int64_t fs = p;
+    while (true) {
+      bool at_end = (p >= line_end) || (t[p] == '\t');
+      if (at_end || t[p] == ':') {
+        int64_t flen = p - fs;
+        if (field == gt_idx) {
+          n_gt = parse_gt_parts(t + fs, t + p, gt_parts, phased);
+        } else if (field == ad_idx && flen > 0 && t[fs] != '.') {
+          int slot = 0;
+          int64_t v = 0;
+          bool have = false;
+          for (int64_t q = fs; q <= p; ++q) {
+            if (q == p || t[q] == ',') {
+              if (have && slot < ad_width) ad[slot] = static_cast<int32_t>(v);
+              ++slot;
+              v = 0;
+              have = false;
+              if (q == p) break;
+            } else if (t[q] >= '0' && t[q] <= '9') {
+              v = v * 10 + (t[q] - '0');
+              have = true;
+            }
+          }
+          ad_slots = slot;
+        } else if (field == dp_idx && flen > 0 && t[fs] != '.') {
+          int64_t v = 0;
+          for (int64_t q = fs; q < p; ++q)
+            if (t[q] >= '0' && t[q] <= '9') v = v * 10 + (t[q] - '0');
+          dp = static_cast<int32_t>(v);
+        } else if (field == gq_idx && flen > 0 && t[fs] != '.') {
+          char buf[64];
+          int64_t n = p - fs;
+          if (n < 63) {
+            std::memcpy(buf, t + fs, n);
+            buf[n] = '\0';
+            gq = std::strtof(buf, nullptr);
+          }
+        }
+        ++field;
+        if (at_end) break;
+        fs = p + 1;
+      }
+      ++p;
+    }
+
+    if (mode == 0) {
+      // Pf diploid: GT must be diploid (len != 2 skips the sample, parity
+      // with PfDiploidParser); both alleles contribute; hom 1/1 emits TWO
+      // incidences (kgl_variant_factory_pf_impl.cpp:287,336).
+      if (n_gt == 2 && (gt_parts[0] > 0 || gt_parts[1] > 0)) {
+        if (ad_slots != ad_width) {
+          ++out.ad_mismatch;
+        } else {
+          for (int k = 0; k < 2; ++k) {
+            int64_t allele = gt_parts[k];
+            if (allele <= 0 || allele > n_alleles) continue;
+            const StrRange& alt = out.alts[alt_first + allele - 1];
+            if (alt.end - alt.start == 1 &&
+                (t[alt.start] == '*' || t[alt.start] == '.'))
+              continue;  // upstream-deletion / missing allele
+            if (alt.end == alt.start) continue;
+            int32_t rc = ad[0];
+            int32_t ac = ad[allele];
+            if (rc == 0 && ac == 0) continue;  // spanning downstream deletion
+            out.inc_record.push_back(local_rec);
+            out.inc_sample.push_back(sample);
+            out.inc_allele.push_back(static_cast<int32_t>(allele));
+            out.inc_phase.push_back(255);
+            out.inc_ref_count.push_back(rc);
+            out.inc_alt_count.push_back(ac);
+            out.inc_dp.push_back(dp);
+            out.inc_gq.push_back(gq);
+          }
+        }
+      }
+    } else if (n_gt > 0) {
+      // phased diploid (1000G): a|b -> phase A / phase B; unphased or
+      // non-diploid GT falls back to UNPHASED incidences
+      // (kgl_variant_factory_1000_impl.cpp:93-127).
+      bool assign_phase = phased && n_gt == 2;
+      for (int k = 0; k < n_gt; ++k) {
+        int64_t allele = gt_parts[k];
+        if (allele <= 0 || allele > n_alleles) continue;
+        const StrRange& alt = out.alts[alt_first + allele - 1];
+        if (alt.end - alt.start == 1 && t[alt.start] == '*') continue;
+        uint8_t phase = assign_phase ? static_cast<uint8_t>(k + 1) : 255;
+        out.inc_record.push_back(local_rec);
+        out.inc_sample.push_back(sample);
+        out.inc_allele.push_back(static_cast<int32_t>(allele));
+        out.inc_phase.push_back(phase);
+        out.inc_ref_count.push_back(0);
+        out.inc_alt_count.push_back(0);
+        out.inc_dp.push_back(0);
+        out.inc_gq.push_back(0.0f);
+      }
+    }
+    if (p < line_end && t[p] == '\t') ++p;
+  }
+  return true;
+}
+
+template <typename T>
+T* alloc_col(int64_t n) {
+  return static_cast<T*>(std::malloc(sizeof(T) * (n > 0 ? n : 1)));
+}
+
+}  // namespace
+
+extern "C" {
+
+KgtVcfResult* kgt_vcf_parse_records(const char* text, int64_t len,
+                                    int64_t body_start, int n_samples,
+                                    int mode, const char* numeric_joined,
+                                    const char* flag_joined, int n_threads) {
+  auto numeric_names = split_names(numeric_joined);
+  auto flag_names = split_names(flag_joined);
+
+  // line index (single pass; memchr is memory-bound)
+  std::vector<int64_t> line_starts;
+  {
+    int64_t pos = body_start;
+    while (pos < len) {
+      line_starts.push_back(pos);
+      const char* nl = static_cast<const char*>(
+          std::memchr(text + pos, '\n', static_cast<size_t>(len - pos)));
+      if (!nl) break;
+      pos = (nl - text) + 1;
+    }
+  }
+  int64_t n_lines = static_cast<int64_t>(line_starts.size());
+  int workers = n_threads > 0 ? n_threads : 1;
+  if (workers > n_lines && n_lines > 0) workers = static_cast<int>(n_lines);
+  if (workers < 1) workers = 1;
+
+  std::vector<ThreadOut> outs(workers);
+  for (auto& o : outs) {
+    o.numeric.resize(numeric_names.size());
+    o.flags.resize(flag_names.size());
+  }
+  auto run = [&](int w) {
+    ThreadOut& out = outs[w];
+    int64_t lo = n_lines * w / workers;
+    int64_t hi = n_lines * (w + 1) / workers;
+    for (int64_t li = lo; li < hi; ++li) {
+      int64_t start = line_starts[li];
+      int64_t end = (li + 1 < n_lines) ? line_starts[li + 1] - 1 : len;
+      while (end > start && (text[end - 1] == '\n' || text[end - 1] == '\r'))
+        --end;
+      if (end <= start) continue;
+      if (text[start] == '#') continue;  // stray header line
+      if (!parse_line(text, start, end, n_samples, mode, numeric_names,
+                      flag_names, out))
+        ++out.bad_records;
+    }
+  };
+  if (workers == 1) {
+    run(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int w = 0; w < workers; ++w) pool.emplace_back(run, w);
+    for (auto& th : pool) th.join();
+  }
+
+  // merge
+  int64_t R = 0, A = 0, I = 0;
+  for (auto& o : outs) {
+    R += static_cast<int64_t>(o.records.size());
+    A += static_cast<int64_t>(o.alts.size());
+    I += static_cast<int64_t>(o.inc_record.size());
+  }
+  auto* res = static_cast<KgtVcfResult*>(std::calloc(1, sizeof(KgtVcfResult)));
+  if (!res) return nullptr;
+  res->n_records = R;
+  res->n_alts = A;
+  res->n_incidences = I;
+  res->n_numeric = static_cast<int64_t>(numeric_names.size());
+  res->n_flags = static_cast<int64_t>(flag_names.size());
+  res->rec_contig = alloc_col<int32_t>(R);
+  res->rec_pos = alloc_col<int64_t>(R);
+  res->rec_qual = alloc_col<float>(R);
+  res->rec_pass = alloc_col<uint8_t>(R);
+  res->rec_id_start = alloc_col<int64_t>(R);
+  res->rec_id_end = alloc_col<int64_t>(R);
+  res->rec_ref_start = alloc_col<int64_t>(R);
+  res->rec_ref_end = alloc_col<int64_t>(R);
+  res->rec_info_start = alloc_col<int64_t>(R);
+  res->rec_info_end = alloc_col<int64_t>(R);
+  res->alt_row_start = alloc_col<int64_t>(R + 1);
+  res->alt_start = alloc_col<int64_t>(A);
+  res->alt_end = alloc_col<int64_t>(A);
+  res->inc_record = alloc_col<int32_t>(I);
+  res->inc_sample = alloc_col<int32_t>(I);
+  res->inc_allele = alloc_col<int32_t>(I);
+  res->inc_phase = alloc_col<uint8_t>(I);
+  res->inc_ref_count = alloc_col<int32_t>(I);
+  res->inc_alt_count = alloc_col<int32_t>(I);
+  res->inc_dp = alloc_col<int32_t>(I);
+  res->inc_gq = alloc_col<float>(I);
+  res->info_numeric = alloc_col<double>(res->n_numeric * R);
+  res->info_flags = alloc_col<uint8_t>(res->n_flags * R);
+
+  // contig interning: VCFs are contig-grouped, so memoise the last name.
+  std::vector<StrRange> contig_table;
+  int32_t last_contig = -1;
+  StrRange last_range{-1, -1};
+  auto intern_contig = [&](const StrRange& r) -> int32_t {
+    if (last_contig >= 0 && (r.end - r.start) == (last_range.end - last_range.start) &&
+        std::memcmp(text + r.start, text + last_range.start,
+                    r.end - r.start) == 0)
+      return last_contig;
+    for (size_t c = 0; c < contig_table.size(); ++c) {
+      const StrRange& e = contig_table[c];
+      if ((r.end - r.start) == (e.end - e.start) &&
+          std::memcmp(text + r.start, text + e.start, r.end - r.start) == 0) {
+        last_contig = static_cast<int32_t>(c);
+        last_range = e;
+        return last_contig;
+      }
+    }
+    contig_table.push_back(r);
+    last_contig = static_cast<int32_t>(contig_table.size() - 1);
+    last_range = r;
+    return last_contig;
+  };
+
+  int64_t r = 0, a = 0, i = 0;
+  for (auto& o : outs) {
+    int64_t rec_base = r;
+    int64_t alt_base = a;
+    for (size_t f = 0; f < numeric_names.size(); ++f)
+      std::memcpy(res->info_numeric + f * R + rec_base, o.numeric[f].data(),
+                  o.numeric[f].size() * sizeof(double));
+    for (size_t f = 0; f < flag_names.size(); ++f)
+      std::memcpy(res->info_flags + f * R + rec_base, o.flags[f].data(),
+                  o.flags[f].size() * sizeof(uint8_t));
+    int64_t alt_cursor = alt_base;
+    for (const RecordRow& rec : o.records) {
+      res->rec_contig[r] = intern_contig(rec.contig);
+      res->rec_pos[r] = rec.pos;
+      res->rec_qual[r] = rec.qual;
+      res->rec_pass[r] = rec.pass;
+      res->rec_id_start[r] = rec.id.start;
+      res->rec_id_end[r] = rec.id.end;
+      res->rec_ref_start[r] = rec.ref.start;
+      res->rec_ref_end[r] = rec.ref.end;
+      res->rec_info_start[r] = rec.info.start;
+      res->rec_info_end[r] = rec.info.end;
+      res->alt_row_start[r] = alt_cursor;
+      alt_cursor += rec.n_alts;
+      ++r;
+    }
+    for (const StrRange& alt : o.alts) {
+      res->alt_start[a] = alt.start;
+      res->alt_end[a] = alt.end;
+      ++a;
+    }
+    for (size_t k = 0; k < o.inc_record.size(); ++k) {
+      res->inc_record[i] =
+          static_cast<int32_t>(rec_base + o.inc_record[k]);
+      res->inc_sample[i] = o.inc_sample[k];
+      res->inc_allele[i] = o.inc_allele[k];
+      res->inc_phase[i] = o.inc_phase[k];
+      res->inc_ref_count[i] = o.inc_ref_count[k];
+      res->inc_alt_count[i] = o.inc_alt_count[k];
+      res->inc_dp[i] = o.inc_dp[k];
+      res->inc_gq[i] = o.inc_gq[k];
+      ++i;
+    }
+    res->ad_mismatch += o.ad_mismatch;
+    res->bad_records += o.bad_records;
+  }
+  res->alt_row_start[R] = A;
+  res->n_contigs = static_cast<int64_t>(contig_table.size());
+  res->contig_start = alloc_col<int64_t>(res->n_contigs);
+  res->contig_end = alloc_col<int64_t>(res->n_contigs);
+  for (int64_t c = 0; c < res->n_contigs; ++c) {
+    res->contig_start[c] = contig_table[c].start;
+    res->contig_end[c] = contig_table[c].end;
+  }
+  return res;
+}
+
+void kgt_vcf_result_free(KgtVcfResult* res) {
+  if (!res) return;
+  std::free(res->rec_contig);
+  std::free(res->rec_pos);
+  std::free(res->rec_qual);
+  std::free(res->rec_pass);
+  std::free(res->rec_id_start);
+  std::free(res->rec_id_end);
+  std::free(res->rec_ref_start);
+  std::free(res->rec_ref_end);
+  std::free(res->rec_info_start);
+  std::free(res->rec_info_end);
+  std::free(res->alt_row_start);
+  std::free(res->alt_start);
+  std::free(res->alt_end);
+  std::free(res->contig_start);
+  std::free(res->contig_end);
+  std::free(res->inc_record);
+  std::free(res->inc_sample);
+  std::free(res->inc_allele);
+  std::free(res->inc_phase);
+  std::free(res->inc_ref_count);
+  std::free(res->inc_alt_count);
+  std::free(res->inc_dp);
+  std::free(res->inc_gq);
+  std::free(res->info_numeric);
+  std::free(res->info_flags);
+  std::free(res);
 }
 
 }  // extern "C"

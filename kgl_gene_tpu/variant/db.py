@@ -41,6 +41,7 @@ class ContigDB:
         self._builder_phase: List[int] = []
         self._builder_fmt: List[Tuple[int, int, int, float, float]] = []
         self._builder_pass: List[bool] = []
+        self._blocks: List[dict] = []  # bulk column blocks (native ingest)
         self._cols: Optional[dict] = None
 
     # --- ingest -----------------------------------------------------------
@@ -54,39 +55,88 @@ class ContigDB:
         self._builder_pass.append(pass_filter)
         self._cols = None
 
+    def add_incidence_block(
+        self,
+        rows: np.ndarray,
+        phase: np.ndarray,
+        ref_count: np.ndarray,
+        alt_count: np.ndarray,
+        dp_count: np.ndarray,
+        gq_value: np.ndarray,
+        quality: np.ndarray,
+        pass_filter: np.ndarray,
+    ) -> None:
+        """Bulk append a column block of incidences (no per-element Python
+        work — the landing path for the native end-to-end VCF parser)."""
+        n = len(rows)
+        if n == 0:
+            return
+        self._blocks.append({
+            "row": np.asarray(rows, dtype=np.int64),
+            "phase": np.asarray(phase, dtype=np.uint8),
+            "ref_count": np.asarray(ref_count, dtype=np.int64),
+            "alt_count": np.asarray(alt_count, dtype=np.int64),
+            "dp_count": np.asarray(dp_count, dtype=np.int64),
+            "gq_value": np.asarray(gq_value, dtype=np.float32),
+            "quality": np.asarray(quality, dtype=np.float32),
+            "pass": np.asarray(pass_filter, dtype=bool),
+        })
+        self._cols = None
+
+    def _flush_builder(self) -> Optional[dict]:
+        """Convert the per-element builder lists to a column block."""
+        if not self._builder_rows:
+            return None
+        rows = np.asarray(self._builder_rows, dtype=np.int64)
+        fmt = np.asarray(self._builder_fmt, dtype=np.float64).reshape(-1, 5)
+        return {
+            "row": rows,
+            "phase": np.asarray(self._builder_phase, dtype=np.uint8),
+            "ref_count": fmt[:, 0].astype(np.int64),
+            "alt_count": fmt[:, 1].astype(np.int64),
+            "dp_count": fmt[:, 2].astype(np.int64),
+            "gq_value": fmt[:, 3].astype(np.float32),
+            "quality": fmt[:, 4].astype(np.float32),
+            "pass": np.asarray(self._builder_pass, dtype=bool),
+        }
+
     # --- columns ----------------------------------------------------------
     def columns(self) -> dict:
         if self._cols is None:
-            rows = np.asarray(self._builder_rows, dtype=np.int64)
-            fmt = np.asarray(self._builder_fmt, dtype=np.float64).reshape(-1, 5)
+            blocks = list(self._blocks)
+            built = self._flush_builder()
+            if built is not None:
+                blocks.append(built)
+            if not blocks:
+                rows = np.empty(0, dtype=np.int64)
+                merged = {
+                    "row": rows,
+                    "phase": np.empty(0, dtype=np.uint8),
+                    "ref_count": np.empty(0, dtype=np.int64),
+                    "alt_count": np.empty(0, dtype=np.int64),
+                    "dp_count": np.empty(0, dtype=np.int64),
+                    "gq_value": np.empty(0, dtype=np.float32),
+                    "quality": np.empty(0, dtype=np.float32),
+                    "pass": np.empty(0, dtype=bool),
+                }
+            elif len(blocks) == 1:
+                merged = dict(blocks[0])
+            else:
+                merged = {
+                    k: np.concatenate([b[k] for b in blocks])
+                    for k in blocks[0]
+                }
+            rows = merged["row"]
             offsets = self.arena.offsets[rows] if len(rows) else np.empty(0, dtype=np.int64)
             order = np.argsort(offsets, kind="stable")
-            self._cols = {
-                "row": rows[order],
-                "phase": np.asarray(self._builder_phase, dtype=np.uint8)[order],
-                "offset": offsets[order],
-                "ref_count": fmt[order, 0].astype(np.int64),
-                "alt_count": fmt[order, 1].astype(np.int64),
-                "dp_count": fmt[order, 2].astype(np.int64),
-                "gq_value": fmt[order, 3].astype(np.float32),
-                "quality": fmt[order, 4].astype(np.float32),
-                "pass": np.asarray(self._builder_pass, dtype=bool)[order],
-            }
+            merged["offset"] = offsets
+            self._cols = {k: v[order] for k, v in merged.items()}
         return self._cols
 
     def _from_columns(self, cols: dict) -> "ContigDB":
         out = ContigDB(self.contig_id, self.arena)
         out._cols = cols
-        out._builder_rows = list(cols["row"])
-        out._builder_phase = list(cols["phase"])
-        out._builder_fmt = [
-            (int(rc), int(ac), int(dp), float(gq), float(q))
-            for rc, ac, dp, gq, q in zip(
-                cols["ref_count"], cols["alt_count"], cols["dp_count"],
-                cols["gq_value"], cols["quality"],
-            )
-        ]
-        out._builder_pass = list(cols["pass"])
+        out._blocks = [{k: v for k, v in cols.items() if k != "offset"}]
         return out
 
     def select(self, mask_or_index: np.ndarray) -> "ContigDB":
@@ -97,7 +147,7 @@ class ContigDB:
 
     # --- queries ----------------------------------------------------------
     def variant_count(self) -> int:
-        return len(self._builder_rows)
+        return len(self._builder_rows) + sum(len(b["row"]) for b in self._blocks)
 
     def __len__(self) -> int:
         return self.variant_count()

@@ -1,0 +1,222 @@
+"""Parity tests: end-to-end native C++ VCF ingest vs the streaming Python
+record loop. Both must produce identical populations (incidence columns,
+arena alleles, phases, FORMAT evidence) and identical INFO stores — the
+native path is the TPU-era analogue of the reference's 50-thread consumer
+pool (kgl_parser/kgl_variant_factory_readvcf_impl.h:45) and must not change
+semantics.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import CONTIG_1, CONTIG_2, build_contig1, write_vcf
+from kgl_gene_tpu.io.streams import write_bgzf
+from kgl_gene_tpu.io.vcf import parse_vcf_population
+from kgl_gene_tpu.native import native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable"
+)
+
+
+def _population_snapshot(pop):
+    """Full per-(genome, contig) incidence tuples, resolved through the
+    arena so two populations with different arenas compare equal."""
+    out = {}
+    arena = pop.arena
+    for gid, genome in pop:
+        for cid, contig in genome:
+            cols = contig.columns()
+            rows = []
+            for i in range(len(cols["row"])):
+                row = int(cols["row"][i])
+                rows.append((
+                    arena.contig_name(arena.contigs[row]),
+                    int(cols["offset"][i]),
+                    arena.ref_codes(row).tobytes(),
+                    arena.alt_codes(row).tobytes(),
+                    arena.identifier(row),
+                    arena.info_row(row),
+                    int(cols["phase"][i]),
+                    int(cols["ref_count"][i]),
+                    int(cols["alt_count"][i]),
+                    int(cols["dp_count"][i]),
+                    float(cols["gq_value"][i]),
+                    float(cols["quality"][i]),
+                    bool(cols["pass"][i]),
+                ))
+            out[(gid, cid)] = rows
+    return out
+
+
+def _assert_parity(path, parser_type, subscribed=None, genome_name=None):
+    native = parse_vcf_population(
+        path, "pop", parser_type, subscribed_info=subscribed,
+        genome_name=genome_name, use_native=True,
+    )
+    python = parse_vcf_population(
+        path, "pop", parser_type, subscribed_info=subscribed,
+        genome_name=genome_name, use_native=False,
+    )
+    pop_n, _, info_n = native
+    pop_p, _, info_p = python
+    assert set(pop_n.genome_map) == set(pop_p.genome_map)
+    sn, sp = _population_snapshot(pop_n), _population_snapshot(pop_p)
+    assert sn == sp
+    assert info_n.count == info_p.count
+    for fid in sorted(info_p.subscribed):
+        for r in range(info_p.count):
+            a, b = info_n.value(fid, r), info_p.value(fid, r)
+            if isinstance(b, float) and np.isnan(b):
+                assert np.isnan(a), (fid, r)
+            else:
+                assert a == b, (fid, r, a, b)
+    return native, python
+
+
+class TestPfDiploidNative:
+    def test_fixture_parity(self, tmp_path):
+        path = write_vcf(str(tmp_path / "pf.vcf"))
+        (pop_n, _, _), _ = _assert_parity(
+            path, "PF_DIPLOID", subscribed=["AF", "DP", "VALIDATED"]
+        )
+        # hom 1/1 emits two incidences; all header samples pre-created.
+        assert pop_n.genome_count() == 4
+        assert pop_n.variant_count() == 11
+
+    def test_bgzf_native_path(self, tmp_path):
+        plain = write_vcf(str(tmp_path / "pf.vcf"))
+        with open(plain, "rb") as f:
+            data = f.read()
+        bgz = str(tmp_path / "pf.vcf.bgz")
+        write_bgzf(bgz, data)
+        _assert_parity(bgz, "PF_DIPLOID", subscribed=["DP"])
+
+    def test_edge_genotypes(self, tmp_path):
+        """Haploid GT, missing GT, '*' allele, triploid GT, '.' tokens —
+        the GT-parse edge cases must match the Python tokenizer exactly."""
+        c1 = build_contig1()
+        path = str(tmp_path / "edge.vcf")
+        with open(path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            f.write(f"##contig=<ID={CONTIG_1},length=400>\n")
+            f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n')
+            f.write('##FORMAT=<ID=AD,Number=R,Type=Integer,Description="d">\n')
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                    "S1\tS2\tS3\tS4\tS5\n")
+            alt = "A" if c1[20] != "A" else "G"
+            # haploid '1' (skip), './.' (skip), '1/.' (allele A only),
+            # '1/1/1' (triploid -> skip), '.|1' (treated unphased dot->0)
+            f.write(f"{CONTIG_1}\t21\t.\t{c1[20]}\t{alt}\t50\tPASS\t.\tGT:AD\t"
+                    "1:5,5\t./.:9,0\t1/.:4,6\t1/1/1:2,8\t.|1:3,7\n")
+            # '*' upstream allele + zero-depth spanning deletion skip
+            f.write(f"{CONTIG_1}\t31\t.\t{c1[30]}\t{alt},*\t50\tPASS\t.\tGT:AD\t"
+                    "1/2:5,5,2\t0/1:0,0,0\t2/2:5,0,4\t0/0:9,0,0\t1/1:0,8,0\n")
+            # malformed GT 'x/1' and empty trailing token '1/'
+            f.write(f"{CONTIG_1}\t41\t.\t{c1[40]}\t{alt}\t.\t.\t.\tGT:AD\t"
+                    "x/1:5,5\t1/:3,3\t0|1:2,2\t.:4,0\t1|0:1,9\n")
+        _assert_parity(path, "PF_DIPLOID")
+
+    def test_malformed_lines_skipped(self, tmp_path):
+        c1 = build_contig1()
+        path = str(tmp_path / "bad.vcf")
+        alt = "A" if c1[20] != "A" else "G"
+        with open(path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n")
+            f.write("short\tline\n")  # < 8 fields -> skipped
+            f.write(f"{CONTIG_1}\tNOTANUMBER\t.\t{c1[20]}\t{alt}\t1\tPASS\t.\tGT:AD\t0/1:1,1\n")
+            f.write(f"{CONTIG_1}\t21\t.\t{c1[20]}\t{alt}\t1\tPASS\t.\tGT:AD\t0/1:1,1\n")
+        (pop_n, _, info_n), (pop_p, _, _) = _assert_parity(path, "PF_DIPLOID")
+        assert pop_n.variant_count() == 1
+        assert info_n.count == 1
+
+
+class TestPhasedDiploidNative:
+    def test_phases_parity(self, tmp_path):
+        c1 = build_contig1()
+        path = str(tmp_path / "phased.vcf")
+        alt = "A" if c1[20] != "A" else "G"
+        alt2 = "C" if c1[30] != "C" else "G"
+        with open(path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            f.write(f"##contig=<ID={CONTIG_1},length=400>\n")
+            f.write('##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n')
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tP1\tP2\tP3\n")
+            f.write(f"{CONTIG_1}\t21\trs0\t{c1[20]}\t{alt}\t60\tPASS\tAF=0.5\tGT\t"
+                    "0|1\t1|1\t1|0\n")
+            f.write(f"{CONTIG_1}\t31\trs1\t{c1[30]}\t{alt2}\t60\tPASS\tAF=0.2\tGT\t"
+                    "0/1\t.|1\t1\n")
+            f.write(f"{CONTIG_1}\t41\trs2\t{c1[40]}\t{alt},*\t60\tq10\tAF=0.1,0.3\tGT\t"
+                    "1|2\t2|2\t0|0\n")
+        (pop_n, _, _), _ = _assert_parity(path, "PHASED_DIPLOID", subscribed=["AF"])
+        # phased genomes only exist if they carry variants
+        assert set(pop_n.genome_map) == {"P1", "P2", "P3"}
+
+    def test_multiallelic_and_haploid(self, tmp_path):
+        c1 = build_contig1()
+        alt = "A" if c1[50] != "A" else "G"
+        path = str(tmp_path / "hap.vcf")
+        with open(path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tP1\tP2\n")
+            # haploid chrX/chrY style calls -> single UNPHASED incidence
+            f.write(f"{CONTIG_1}\t51\t.\t{c1[50]}\t{alt}\t9\tPASS\t.\tGT\t1\t0\n")
+        (pop_n, _, _), _ = _assert_parity(path, "PHASED_DIPLOID")
+        assert pop_n.variant_count() == 1
+
+
+class TestMonoGenomeNative:
+    def test_aggregate_parity(self, tmp_path):
+        c1 = build_contig1()
+        path = str(tmp_path / "agg.vcf")
+        alts = [a for a in "ACGT" if a != c1[10]][:2]
+        with open(path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            f.write(f"##contig=<ID={CONTIG_1},length=400>\n")
+            f.write(f"##contig=<ID={CONTIG_2},length=300>\n")
+            f.write('##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n')
+            f.write('##INFO=<ID=AC,Number=A,Type=Integer,Description="ac">\n')
+            f.write('##INFO=<ID=AN,Number=1,Type=Integer,Description="an">\n')
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+            f.write(f"{CONTIG_1}\t11\trs0\t{c1[10]}\t{','.join(alts)}\t99\tPASS\t"
+                    "AF=0.25,0.5;AC=3,6;AN=12\n")
+            f.write(f"{CONTIG_1}\t16\trs1\t{c1[15]}\t{alts[0]},*\t50\tlow\t"
+                    "AF=0.2,0.1;AC=5,2;AN=.\n")
+            f.write(f"{CONTIG_2}\t5\trs2\tACGT\tA\t12\tPASS\tAN=8\n")
+        (pop_n, _, info_n), _ = _assert_parity(
+            path, "MONO_GENOME", subscribed=["AF", "AC", "AN"],
+            genome_name="gnomad_stats",
+        )
+        assert set(pop_n.genome_map) == {"gnomad_stats"}
+        # '*' allele dropped: 2 + 1 + 1 = 4 variants
+        assert pop_n.variant_count() == 4
+        an = info_n.float_column("AN")
+        assert an[0] == 12 and np.isnan(an[1]) and an[2] == 8
+
+
+class TestNativeThroughput:
+    def test_wide_record_block_landing(self, tmp_path):
+        """Many samples on one record land as one column block per genome
+        with correct per-genome grouping."""
+        c1 = build_contig1()
+        alt = "A" if c1[20] != "A" else "G"
+        n = 64
+        names = [f"W{i}" for i in range(n)]
+        path = str(tmp_path / "wide.vcf")
+        with open(path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                    + "\t".join(names) + "\n")
+            cols = "\t".join(
+                ("1/1:0,9" if i % 3 == 0 else "0/1:4,5" if i % 3 == 1 else "0/0:9,0")
+                for i in range(n)
+            )
+            f.write(f"{CONTIG_1}\t21\t.\t{c1[20]}\t{alt}\t77\tPASS\t.\tGT:AD\t{cols}\n")
+        (pop_n, _, _), (pop_p, _, _) = _assert_parity(path, "PF_DIPLOID")
+        hom = sum(1 for i in range(n) if i % 3 == 0)
+        het = sum(1 for i in range(n) if i % 3 == 1)
+        assert pop_n.variant_count() == 2 * hom + het
+        assert pop_n.genome_count() == n
