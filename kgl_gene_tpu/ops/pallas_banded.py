@@ -56,7 +56,7 @@ def _prefix_min_chain(base: jnp.ndarray, width: int) -> jnp.ndarray:
 
 def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
                    max_len: int, band_k: int, band_w: int, win_w: int,
-                   unroll: int = 128):
+                   unroll: int = 128, block_b: int = BLOCK_B):
     """One block of BLOCK_B pairs.
 
     prev_ref: (B, band_w) band wavefront (band_w = 2k+1 padded to 128s).
@@ -68,7 +68,7 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
     Wg = win_w
     BIG = jnp.int32(2 * M + 7)
 
-    c_idx = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_B, Wp), 1)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (block_b, Wp), 1)
     la = len_a_ref[:, 0:1]
     lb = len_b_ref[:, 0:1]
 
@@ -76,7 +76,7 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
     j0 = c_idx - K
     prev_ref[:] = jnp.where((j0 >= 0) & (j0 <= K), jnp.maximum(j0, 0), BIG)
 
-    out_ref[:] = jnp.where(la == 0, lb, 0) + jnp.zeros((BLOCK_B, 128), jnp.int32)
+    out_ref[:] = jnp.where(la == 0, lb, 0) + jnp.zeros((block_b, 128), jnp.int32)
 
     def row_step(i, a_col, bwin):
         """One DP row; a_col (B, 1) = a[i-1]; bwin (B, Wg) has
@@ -101,7 +101,7 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
         captured = jnp.sum(
             jnp.where((c_idx == cap_c) & hit, cur, 0), axis=1, keepdims=True
         )
-        out_ref[:] = out_ref[:] + captured + jnp.zeros((BLOCK_B, 128), jnp.int32)
+        out_ref[:] = out_ref[:] + captured + jnp.zeros((block_b, 128), jnp.int32)
 
     Wa = a_ref.shape[1]
     n_groups = Wa // 128
@@ -131,31 +131,31 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
     jax.lax.fori_loop(0, n_groups, group_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "band_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_len", "band_k", "interpret", "block_b"))
 def _banded_call(seq_a, seq_b_buf, len_a_col, len_b_col, max_len: int,
-                 band_k: int, interpret: bool = False):
+                 band_k: int, interpret: bool = False, block_b: int = BLOCK_B):
     B, Wa = seq_a.shape
     band_w = ((2 * band_k + 1 + 127) // 128) * 128
     win_w = band_w + 256
-    grid = (B // BLOCK_B,)
+    grid = (B // block_b,)
     Wb = seq_b_buf.shape[1]
     kernel = functools.partial(
         _banded_kernel, max_len=max_len, band_k=band_k, band_w=band_w,
-        win_w=win_w, unroll=1 if interpret else 128,
+        win_w=win_w, unroll=1 if interpret else 128, block_b=block_b,
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLOCK_B, Wa), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, Wb), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, Wa), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, Wb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_b, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_B, band_w), jnp.int32),
+            pltpu.VMEM((block_b, band_w), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=30 * B * max_len * band_w, bytes_accessed=3 * B * Wb * 4,

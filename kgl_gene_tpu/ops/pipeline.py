@@ -66,7 +66,32 @@ def _forward(
         ref_coding = complement_lut[ref_coding[:, ::-1]]
     B, S = coding.shape
     lens = jnp.full((B,), S, dtype=jnp.int32)
-    if use_pallas:
+    K_snps = positions.shape[1]
+    # Band exactness proof: every variant here is a substitution at one
+    # region offset, so Levenshtein(mutant, ref) <= Hamming <= K_snps and
+    # the lengths are equal. When K_snps fits a band the banded kernel is
+    # provably exact and does ~band/(2*S) of the full wavefront's work —
+    # the static form of edlib's band doubling (edlib.cpp:161-185).
+    band_k = 63 if K_snps <= 63 else (127 if K_snps <= 127 else 0)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    if use_pallas and band_k and S >= 512:
+        from .pallas_banded import B_LEAD, _banded_call
+
+        band_w = ((2 * band_k + 1 + 127) // 128) * 128
+        win_w = band_w + 256
+        Wa = ((S + 127) // 128) * 128
+        block_b = 256 if B % 256 == 0 else (128 if B % 128 == 0 else 32)
+        Bp = ((B + block_b - 1) // block_b) * block_b
+        a_p = jnp.zeros((Bp, Wa), jnp.int32).at[:B, :S].set(coding.astype(jnp.int32))
+        b_buf = jnp.full((Bp, B_LEAD + Wa + win_w), -1, jnp.int32).at[
+            :B, B_LEAD : B_LEAD + S
+        ].set(jnp.broadcast_to(ref_coding, (B, S)).astype(jnp.int32))
+        len_col = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S)
+        distance = _banded_call(
+            a_p, b_buf, len_col, len_col, max_len=S, band_k=band_k,
+            block_b=block_b, interpret=interpret,
+        )[:B, 0]
+    elif use_pallas:
         from .pallas_edit_distance import BLOCK_B, _pallas_call
 
         W = ((S + 1 + 127) // 128) * 128
@@ -76,7 +101,9 @@ def _forward(
             jnp.broadcast_to(ref_coding, (B, S)).astype(jnp.int32)
         )[:, ::-1]
         len_col = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S)
-        distance = _pallas_call(a_p, b_rev, len_col, len_col, max_len=S)[:B, 0]
+        distance = _pallas_call(
+            a_p, b_rev, len_col, len_col, max_len=S, interpret=interpret
+        )[:B, 0]
     else:
         distance = _batched_levenshtein_impl(
             coding, lens, jnp.broadcast_to(ref_coding, (B, S)), lens, S, S

@@ -66,3 +66,33 @@ class TestPallasLevenshtein:
         np.testing.assert_array_equal(
             np.asarray(pallas_out.amino), np.asarray(scan_out.amino)
         )
+
+
+class TestFusedBandedForward:
+    def test_pipeline_banded_branch_matches_scan(self):
+        """With few SNP slots and a long transcript the forward step routes
+        the distance through the banded kernel (provably exact: every
+        variant is a substitution so Levenshtein <= Hamming <= K). Must
+        equal the scan path bit-for-bit."""
+        from kgl_gene_tpu.ops.pipeline import make_forward_step
+
+        rng = np.random.default_rng(7)
+        region = rng.integers(0, 4, size=1200).astype(np.uint8)
+        exons = np.array([[100, 400], [500, 800]], dtype=np.int64)  # S=600
+        B, K = 8, 6  # K <= 63 -> band_k = 63 branch
+        positions = rng.integers(0, 1200, size=(B, K)).astype(np.int32)
+        alts = rng.integers(0, 4, size=(B, K)).astype(np.uint8)
+        valid = rng.random((B, K)) < 0.8
+
+        banded_step = make_forward_step(region, exons, 0, use_pallas=True)
+        banded_out = banded_step(positions, alts, valid)
+        scan_step = make_forward_step(region, exons, 0, use_pallas=False)
+        scan_out = scan_step(positions, alts, valid)
+        np.testing.assert_array_equal(
+            np.asarray(banded_out.distance), np.asarray(scan_out.distance)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(banded_out.amino), np.asarray(scan_out.amino)
+        )
+        # distances are bounded by the number of applied SNPs
+        assert int(np.max(np.asarray(banded_out.distance))) <= K
