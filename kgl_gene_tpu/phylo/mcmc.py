@@ -27,8 +27,13 @@ __all__ = ["ChainState", "Chain", "MCMCSampler", "UPDATER_NAMES"]
 
 UPDATER_NAMES = (
     "branch_length", "tree_length", "gamma_shape", "p_invariant",
-    "state_freq", "exchangeability", "larget_simon", "omega", "kappa",
+    "state_freq", "exchangeability", "larget_simon", "polytomy",
+    "omega", "kappa",
 )
+
+# Branch-length prior rate shared by the scalers and the reversible-jump
+# polytomy move (Exp(rate) as in the kpl branch prior).
+_EDGE_PRIOR_RATE = 10.0
 
 
 @dataclass
@@ -67,8 +72,10 @@ class Chain:
         # phylo/codon.py); defaults to the nucleotide likelihood.
         self.likelihood_fn = likelihood_fn or log_likelihood
         self.updaters = tuple(
-            u for u in updaters if not (fixed_topology and u == "larget_simon")
+            u for u in updaters
+            if not (fixed_topology and u in ("larget_simon", "polytomy"))
         )
+        self.polytomy_prior_c = 1.0
         self.accept_counts: Dict[str, int] = {u: 0 for u in self.updaters}
         self.try_counts: Dict[str, int] = {u: 0 for u in self.updaters}
         self.state.log_like = self.likelihood_fn(state.tree, alignment, state.model)
@@ -208,6 +215,96 @@ class Chain:
             proposal.tree.renumber()
         self._metropolis("larget_simon", proposal, math.log(factor))
 
+    # --- polytomy reversible jump (kpl_mcmc_polytomy.h) ---------------------
+    @staticmethod
+    def _polytomy_candidates(tree: PhyloTree):
+        """(polytomies, deletable internal edges): a polytomy is an internal
+        node with >= 3 children (add-edge targets); a deletable edge is any
+        internal non-root node (collapsing it merges its children into the
+        parent)."""
+        nodes = tree.nodes_postorder()
+        polys = [n for n in nodes if len(n.children) >= 3]
+        dels = [n for n in nodes if n.parent is not None and not n.is_leaf()]
+        return polys, dels
+
+    @staticmethod
+    def _n_subsets(k: int) -> int:
+        """Ways to move a subset of 2..k-1 of a polytomy's k children under
+        a new internal edge."""
+        return (1 << k) - k - 2
+
+    def _update_polytomy(self) -> None:
+        """Lewis-Holder-Holsinger reversible-jump dimension move
+        (kpl_mcmc_polytomy.h): ADD an internal edge by splitting a polytomy
+        (new branch length drawn from the edge prior) or DELETE an internal
+        edge, collapsing its child into a polytomy. The Hastings ratio
+        accounts for the add/delete choice probabilities, the uniform
+        polytomy/edge/subset choices and the new-edge proposal density; the
+        prior ratio covers the new branch's density and the topology prior
+        C^(n_internal) (polytomy_prior_c, default 1 = flat)."""
+        rate = _EDGE_PRIOR_RATE
+        log_c = math.log(getattr(self, "polytomy_prior_c", 1.0))
+        proposal = self.state.copy()
+        polys, dels = self._polytomy_candidates(proposal.tree)
+        if not polys and not dels:
+            return
+        p_add = 0.5 if (polys and dels) else (1.0 if polys else 0.0)
+        do_add = self.rng.random() < p_add
+
+        if do_add:
+            u = self.rng.choice(polys)
+            k = len(u.children)
+            # uniform subset with 2 <= |S| <= k-1 by rejection (k is small)
+            while True:
+                mask = self.rng.randrange(1 << k)
+                size = bin(mask).count("1")
+                if 2 <= size <= k - 1:
+                    break
+            subset = [c for i, c in enumerate(u.children) if mask & (1 << i)]
+            v_len = self.rng.expovariate(rate)
+            v = PhyloNode(index=-1, edge_length=v_len, parent=u)
+            for child in subset:
+                u.children.remove(child)
+                child.parent = v
+                v.children.append(child)
+            u.children.append(v)
+            proposal.tree.renumber()
+            polys_new, dels_new = self._polytomy_candidates(proposal.tree)
+            p_del_rev = 0.5 if (polys_new and dels_new) else 1.0
+            log_g = math.log(rate) - rate * v_len  # proposal density of v_len
+            log_forward = (
+                math.log(p_add) - math.log(len(polys))
+                - math.log(self._n_subsets(k)) + log_g
+            )
+            log_reverse = math.log(p_del_rev) - math.log(len(dels_new))
+            # prior: new branch density x topology C ratio (one more internal)
+            log_prior = (math.log(rate) - rate * v_len) + log_c
+            self._metropolis(
+                "polytomy", proposal, log_reverse - log_forward, log_prior
+            )
+        else:
+            c = self.rng.choice(dels)
+            u = c.parent
+            v_len = c.edge_length
+            u.children.remove(c)
+            for child in c.children:
+                child.parent = u
+                u.children.append(child)
+            proposal.tree.renumber()
+            polys_new, dels_new = self._polytomy_candidates(proposal.tree)
+            k_rev = len(u.children)  # reverse add splits this polytomy
+            p_add_rev = 0.5 if (polys_new and dels_new) else 1.0
+            log_g = math.log(rate) - rate * v_len
+            log_forward = math.log(1.0 - p_add) - math.log(len(dels))
+            log_reverse = (
+                math.log(p_add_rev) - math.log(len(polys_new))
+                - math.log(self._n_subsets(k_rev)) + log_g
+            )
+            log_prior = -(math.log(rate) - rate * v_len) - log_c
+            self._metropolis(
+                "polytomy", proposal, log_reverse - log_forward, log_prior
+            )
+
     # --- step -------------------------------------------------------------
     def next_step(self) -> None:
         """One MCMC iteration: each updater fires once (Chain::nextStep)."""
@@ -219,6 +316,7 @@ class Chain:
             "state_freq": self._update_state_freq,
             "exchangeability": self._update_exchangeability,
             "larget_simon": self._update_larget_simon,
+            "polytomy": self._update_polytomy,
             "omega": self._update_omega,
             "kappa": self._update_kappa,
         }

@@ -147,8 +147,12 @@ class PhyloTree:
 
 
 def parse_newick(text: str, leaf_order: Optional[List[str]] = None) -> PhyloTree:
-    """Parse a Newick string with branch lengths."""
-    text = text.strip().rstrip(";")
+    """Parse a Newick string with branch lengths. Bracket comments (e.g.
+    the NEXUS [&U] rooting annotation our own tree writer emits) are
+    stripped first so written trees round-trip."""
+    import re as _re
+
+    text = _re.sub(r"\[[^\]]*\]", "", text).strip().rstrip(";")
     pos = 0
 
     def parse_node() -> PhyloNode:

@@ -3,6 +3,7 @@ hand-computed JC69 values), MCMC sampler behaviour, NEXUS IO, strom
 driver."""
 
 import math
+import random
 import os
 
 import numpy as np
@@ -316,3 +317,82 @@ class TestPartition:
             weights = partition._site_weights()
             assert abs(np.sum(weights * partition.relative_rates) - 1.0) < 1e-9
         assert np.isfinite(ll)
+
+
+class TestPolytomyMove:
+    def _alignment(self, rng, n_sites=100, n_taxa=5):
+        base = rng.integers(0, 4, n_sites)
+        seqs = []
+        for _ in range(n_taxa):
+            out = base.copy()
+            pos = rng.choice(n_sites, 6, replace=False)
+            out[pos] = (out[pos] + 1 + rng.integers(0, 3, 6)) % 4
+            seqs.append(out)
+        return np.stack(seqs).astype(np.uint8)
+
+    def test_dimension_jumps_both_ways(self):
+        """The reversible-jump move must both create polytomies (delete
+        edge) and resolve them (add edge) over a run, with the tree always
+        remaining a valid likelihood input."""
+        from kgl_gene_tpu.phylo.mcmc import Chain
+
+        rng = np.random.default_rng(11)
+        alignment = self._alignment(rng)
+        names = [f"t{i}" for i in range(5)]
+        tree = random_tree(names)
+        state = ChainState(tree, SubstitutionModel.jc69())
+        chain = Chain(alignment, state, rng=random.Random(2),
+                      updaters=("branch_length", "polytomy"))
+        saw_polytomy = saw_binary = False
+        for _ in range(80):
+            chain.next_step()
+            max_deg = max(
+                len(n.children) for n in chain.state.tree.internal_nodes()
+            )
+            if max_deg >= 3:
+                saw_polytomy = True
+            else:
+                saw_binary = True
+            assert np.isfinite(chain.state.log_like)
+        assert saw_polytomy and saw_binary
+        assert chain.try_counts["polytomy"] > 0
+
+    def test_collapse_then_resolve_roundtrip(self):
+        """Collapsing an internal edge and re-adding the same subset
+        restores the original splits (the reverse-move bookkeeping the
+        Hastings ratio relies on)."""
+        from kgl_gene_tpu.phylo.tree import parse_newick
+
+        t = parse_newick("((a:1,b:1):0.5,(c:1,d:1):0.5);")
+        splits_before = t.splits()
+        # collapse the (a,b) internal node
+        node = next(n for n in t.internal_nodes() if n.parent is not None)
+        parent, children = node.parent, list(node.children)
+        parent.children.remove(node)
+        for ch in children:
+            ch.parent = parent
+            parent.children.append(ch)
+        t.renumber()
+        assert max(len(n.children) for n in t.internal_nodes()) == 3
+        # resolve it back
+        from kgl_gene_tpu.phylo.tree import PhyloNode
+
+        v = PhyloNode(index=-1, edge_length=0.5, parent=parent)
+        for ch in children:
+            parent.children.remove(ch)
+            ch.parent = v
+            v.children.append(ch)
+        parent.children.append(v)
+        t.renumber()
+        assert t.splits() == splits_before
+
+    def test_fixed_topology_disables_polytomy(self):
+        from kgl_gene_tpu.phylo.mcmc import Chain
+
+        rng = np.random.default_rng(3)
+        alignment = self._alignment(rng, n_taxa=4)
+        tree = random_tree(["t0", "t1", "t2", "t3"])
+        state = ChainState(tree, SubstitutionModel.jc69())
+        chain = Chain(alignment, state, fixed_topology=True)
+        assert "polytomy" not in chain.updaters
+        assert "larget_simon" not in chain.updaters
