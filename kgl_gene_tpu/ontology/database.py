@@ -19,7 +19,7 @@ from .annotation import TermAnnotation
 from .cache import TermSimilarityCache
 from .graph import GoGraph
 from .information import InformationContent
-from .obo import parse_go_obo
+from .obo import parse_go_file
 from .similarity import (
     SimilarityJiangConrath,
     SimilarityLin,
@@ -39,8 +39,10 @@ _MEASURES = {
 
 class OntologyDatabase:
     def __init__(self, ontology_ident: str, go_obo_file: str, gaf_file: str):
+        """go_obo_file may be OBO, OBO-XML or OboGraphs JSON; the factory
+        dispatches on the extension (kol_ParserGoFactory parity)."""
         self.ontology_ident = ontology_ident
-        records = parse_go_obo(go_obo_file)
+        records = parse_go_file(go_obo_file)
         self.go_graph = GoGraph(records)
         self.annotation = TermAnnotation.from_gaf_file(gaf_file, graph=self.go_graph)
         self._information: Optional[InformationContent] = None

@@ -73,3 +73,19 @@ def parse_go_obo(path: str) -> List[GoTermRecord]:
     if current is not None and in_term:
         records.append(current)
     return records
+
+
+def parse_go_file(path: str):
+    """Format-dispatching GO parser factory (kol_ParserGoFactory.h parity):
+    .obo -> OBO, .xml/.obo-xml -> OBO-XML (incl. godatabase namespaced
+    variant), .json -> OboGraphs."""
+    lower = path.lower()
+    if lower.endswith(".json"):
+        from .obographs import parse_go_obographs
+
+        return parse_go_obographs(path)
+    if lower.endswith((".xml", ".obo-xml", ".obo_xml")):
+        from .go_xml import parse_go_xml
+
+        return parse_go_xml(path)
+    return parse_go_obo(path)

@@ -319,3 +319,129 @@ class TestCacheAndEnrichment:
         assert 0.0 < p <= 1.0
         p_root = enrichment_significance(graph, annotation, {"geneA"}, "GO:0008150")
         assert p_root == 1.0
+
+
+# --------------------------------------------------------------------------- #
+# format variants: OBO-XML (plain + namespaced) and OboGraphs JSON must yield
+# the same graph as the OBO text above
+# --------------------------------------------------------------------------- #
+def _record_key(records):
+    return {
+        (r.term_id, r.name, r.namespace, tuple(sorted(r.relations)),
+         tuple(sorted(r.alt_ids)), r.obsolete)
+        for r in records if not r.obsolete
+    }
+
+
+_TERMS = [
+    ("GO:0008150", "biological_process", [], [], False),
+    ("GO:0000002", "process two", [("is_a", "GO:0008150")], [], False),
+    ("GO:0000003", "process three", [("is_a", "GO:0008150")], [], False),
+    ("GO:0000004", "process four", [("is_a", "GO:0000002")], ["GO:0000044"], False),
+    ("GO:0000005", "process five", [("is_a", "GO:0000002")], [], False),
+    ("GO:0000006", "process six",
+     [("is_a", "GO:0000003"), ("part_of", "GO:0000002")], [], False),
+    ("GO:0000099", "obsolete thing", [], [], True),
+]
+
+
+def _write_obo_xml(path, namespaced=False):
+    p = "go:" if namespaced else ""
+    ns_decl = ' xmlns:go="http://www.geneontology.org/dtds/go.dtd#"' if namespaced else ""
+    with open(path, "w") as f:
+        f.write(f"<?xml version='1.0'?>\n<{p}obo{ns_decl}>\n")
+        for tid, name, rels, alts, obsolete in _TERMS:
+            f.write(f"  <{p}term>\n")
+            f.write(f"    <{p}id>{tid}</{p}id>\n")
+            f.write(f"    <{p}name>{name}</{p}name>\n")
+            f.write(f"    <{p}namespace>biological_process</{p}namespace>\n")
+            for alt in alts:
+                f.write(f"    <{p}alt_id>{alt}</{p}alt_id>\n")
+            for rel, target in rels:
+                if rel == "is_a":
+                    f.write(f"    <{p}is_a>{target}</{p}is_a>\n")
+                else:
+                    f.write(f"    <{p}relationship><{p}type>{rel}</{p}type>"
+                            f"<{p}to>{target}</{p}to></{p}relationship>\n")
+            if obsolete:
+                f.write(f"    <{p}is_obsolete>1</{p}is_obsolete>\n")
+            f.write(f"  </{p}term>\n")
+        f.write(f"</{p}obo>\n")
+    return str(path)
+
+
+def _write_obographs(path):
+    import json as _json
+
+    uri = "http://purl.obolibrary.org/obo/"
+    nodes, edges = [], []
+    for tid, name, rels, alts, obsolete in _TERMS:
+        meta = {
+            "basicPropertyValues": [
+                {"pred": uri + "hasOBONamespace", "val": "biological_process"}
+            ] + [
+                {"pred": uri + "hasAlternativeId", "val": alt} for alt in alts
+            ],
+        }
+        if obsolete:
+            meta["deprecated"] = True
+        nodes.append({"id": uri + tid.replace("GO:", "GO_"), "lbl": name, "meta": meta})
+        for rel, target in rels:
+            pred = {"is_a": "is_a", "part_of": "BFO:0000050"}[rel]
+            edges.append({
+                "sub": uri + tid.replace("GO:", "GO_"), "pred": pred,
+                "obj": uri + target.replace("GO:", "GO_"),
+            })
+    with open(path, "w") as f:
+        _json.dump({"graphs": [{"nodes": nodes, "edges": edges}]}, f)
+    return str(path)
+
+
+class TestGoFormatVariants:
+    def test_obo_xml_equals_obo(self, tmp_path):
+        from kgl_gene_tpu.ontology.go_xml import parse_go_xml
+
+        obo_path = tmp_path / "mini.obo"
+        obo_path.write_text(OBO_TEXT)
+        obo = parse_go_obo(str(obo_path))
+        xml = parse_go_xml(_write_obo_xml(tmp_path / "mini.obo-xml.xml"))
+        assert _record_key(xml) == _record_key(obo)
+
+    def test_namespaced_godatabase_xml(self, tmp_path):
+        from kgl_gene_tpu.ontology.go_xml import parse_go_xml
+
+        obo_path = tmp_path / "mini.obo"
+        obo_path.write_text(OBO_TEXT)
+        obo = parse_go_obo(str(obo_path))
+        xml = parse_go_xml(_write_obo_xml(tmp_path / "go_ns.xml", namespaced=True))
+        assert _record_key(xml) == _record_key(obo)
+
+    def test_obographs_json_equals_obo(self, tmp_path):
+        from kgl_gene_tpu.ontology.obographs import parse_go_obographs
+
+        obo_path = tmp_path / "mini.obo"
+        obo_path.write_text(OBO_TEXT)
+        obo = parse_go_obo(str(obo_path))
+        js = parse_go_obographs(_write_obographs(tmp_path / "go.json"))
+        assert _record_key(js) == _record_key(obo)
+
+    def test_factory_dispatch_same_graph(self, tmp_path):
+        """parse_go_file builds identical GoGraphs (and IC vectors) from all
+        three formats."""
+        from kgl_gene_tpu.ontology.obo import parse_go_file
+
+        obo_path = tmp_path / "mini.obo"
+        obo_path.write_text(OBO_TEXT)
+        paths = [
+            str(obo_path),
+            _write_obo_xml(tmp_path / "mini.xml"),
+            _write_obographs(tmp_path / "mini.json"),
+        ]
+        graphs = [GoGraph(parse_go_file(p)) for p in paths]
+        base = graphs[0]
+        for g in graphs[1:]:
+            assert set(g.term_ids) == set(base.term_ids)
+            for t in base.term_ids:
+                got = {g.term_ids[p] for p in g.parents(g.index[t])}
+                want = {base.term_ids[p] for p in base.parents(base.index[t])}
+                assert got == want, t
