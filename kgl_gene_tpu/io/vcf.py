@@ -690,30 +690,193 @@ _NATIVE_MODES = {"PF_DIPLOID": 0, "PHASED_DIPLOID": 1, "MONO_GENOME": 2}
 _NATIVE_MAX_BYTES = int(os.environ.get("KGT_NATIVE_INGEST_MAX_BYTES", 2 << 30))
 
 
-def _read_whole_bytes(path: str) -> Optional[bytes]:
-    """Read the entire (decompressed) file as bytes, None if unsupported."""
+def _open_decompressed_stream(path: str):
+    """Binary stream of decompressed bytes for any supported container."""
     import bz2 as _bz2
     import gzip as _gzip
+    import io as _io
 
     from .streams import BGZFReader, is_bgzf
 
     lower = path.lower()
     if lower.endswith((".bgz", ".bgzf")) or (lower.endswith(".gz") and is_bgzf(path)):
-        from ..native import bgzf_decompress
+        # Whole-file parallel inflate when it fits comfortably; streaming
+        # parallel-block reader beyond.
+        if os.path.getsize(path) < _NATIVE_MAX_BYTES:
+            from ..native import bgzf_decompress
 
-        data = bgzf_decompress(path)
-        if data is not None:
-            return data
-        with BGZFReader(path) as reader:
-            return reader.read()
+            data = bgzf_decompress(path)
+            if data is not None:
+                return _io.BytesIO(data)
+        return BGZFReader(path)
     if lower.endswith(".gz"):
-        with _gzip.open(path, "rb") as f:
-            return f.read()
+        return _gzip.open(path, "rb")
     if lower.endswith(".bz2"):
-        with _bz2.open(path, "rb") as f:
-            return f.read()
-    with open(path, "rb") as f:
-        return f.read()
+        return _bz2.open(path, "rb")
+    return open(path, "rb")
+
+
+class _NativeLander:
+    """Per-chunk consumer for the C++ record-loop parser: interns alleles,
+    lands incidence column blocks and accumulates INFO columns. Chunks are
+    line-aligned, so record/INFO row indices are globalised with a running
+    record base."""
+
+    def __init__(self, population: PopulationDB, info_store: InfoStore,
+                 contig_alias, genome_name: Optional[str], mode: int,
+                 genome_names: List[str]):
+        self.population = population
+        self.info_store = info_store
+        self.contig_alias = contig_alias
+        self.genome_name = genome_name
+        self.mode = mode
+        self.genome_names = genome_names
+        (self.numeric_fields, self.flag_fields,
+         self.object_fields) = info_store.split_native_fields()
+        self.numeric_chunks: List[np.ndarray] = []
+        self.flag_chunks: List[np.ndarray] = []
+        self.object_cols: Dict[str, List] = {f: [] for f in self.object_fields}
+        self.record_base = 0
+        self.variant_count = 0
+        self.bad_records = 0
+        self.ad_mismatch = 0
+
+    def consume(self, res: dict, text: bytes) -> None:
+        R = res["n_records"]
+        self.bad_records += res["bad_records"]
+        self.ad_mismatch += res["ad_mismatch"]
+        self.numeric_chunks.append(res["info_numeric"])
+        self.flag_chunks.append(res["info_flags"])
+
+        # --- object INFO fields (Python parse, only when subscribed) -------
+        if self.object_fields:
+            info_s, info_e = res["rec_info_start"], res["rec_info_end"]
+            for r in range(R):
+                info_text = text[info_s[r] : info_e[r]].decode("ascii", "replace")
+                parsed: Dict[str, str] = {}
+                if info_text and info_text != MISSING:
+                    for item in info_text.split(";"):
+                        if not item:
+                            continue
+                        if "=" in item:
+                            k, v = item.split("=", 1)
+                            parsed[k] = v
+                        else:
+                            parsed[item] = ""
+                for fid in self.object_fields:
+                    self.object_cols[fid].append(
+                        self.info_store._parse_object(fid, parsed.get(fid))
+                    )
+
+        # --- allele interning (one Python step per carrier record) ---------
+        text_np = np.frombuffer(text, dtype=np.uint8)
+        lut = DNA5.CHAR_TO_CODE
+        contig_names = [
+            text[res["contig_start"][c] : res["contig_end"][c]].decode("ascii")
+            for c in range(res["n_contigs"])
+        ]
+        if self.contig_alias is not None:
+            contig_names = [self.contig_alias.lookup(c) for c in contig_names]
+
+        A = res["n_alts"]
+        row_start = res["alt_row_start"]
+        alt_s, alt_e = res["alt_start"], res["alt_end"]
+        needed = np.zeros(A, dtype=bool)
+        if self.mode == 2:
+            # every well-formed alt becomes a variant of the single genome
+            alt_len = alt_e - alt_s
+            needed[:] = alt_len > 0
+            one_base = np.nonzero(alt_len == 1)[0]
+            bad = (text_np[alt_s[one_base]] == ord("*")) | (
+                text_np[alt_s[one_base]] == ord(".")
+            )
+            needed[one_base[bad]] = False
+        elif res["n_incidences"]:
+            needed[row_start[res["inc_record"]] + res["inc_allele"] - 1] = True
+
+        rows = np.full(A, -1, dtype=np.int64)
+        if A and needed.any():
+            rec_has = np.maximum.reduceat(needed.astype(np.int8), row_start[:-1]) > 0
+            intern = self.population.arena.intern
+            rec_contig = res["rec_contig"]
+            rec_pos = res["rec_pos"]
+            id_s, id_e = res["rec_id_start"], res["rec_id_end"]
+            ref_s, ref_e = res["rec_ref_start"], res["rec_ref_end"]
+            base = self.record_base
+            for r in np.nonzero(rec_has)[0]:
+                ref_codes = lut[text_np[ref_s[r] : ref_e[r]]]
+                ident = (
+                    text[id_s[r] : id_e[r]].decode("ascii")
+                    if id_e[r] > id_s[r] else ""
+                )
+                cname = contig_names[rec_contig[r]]
+                offset = int(rec_pos[r])
+                for a in range(row_start[r], row_start[r + 1]):
+                    if needed[a]:
+                        rows[a] = intern(
+                            cname, offset, ref_codes,
+                            lut[text_np[alt_s[a] : alt_e[a]]], ident,
+                            base + int(r),
+                        )
+
+        # --- incidence landing: bulk column blocks per (genome, contig) ----
+        if self.mode == 2:
+            inc_alt = np.nonzero(needed)[0]
+            if len(inc_alt):
+                counts = np.diff(row_start)
+                inc_rec = np.repeat(np.arange(R, dtype=np.int64), counts)[inc_alt]
+                genome = self.population.get_create_genome(
+                    self.genome_name or self.population.population_id
+                )
+                cols = {
+                    "row": rows[inc_alt],
+                    "phase": np.full(
+                        len(inc_alt), int(VariantPhase.UNPHASED), np.uint8
+                    ),
+                    "ref_count": np.zeros(len(inc_alt), np.int64),
+                    "alt_count": np.zeros(len(inc_alt), np.int64),
+                    "dp": np.zeros(len(inc_alt), np.int64),
+                    "gq": np.zeros(len(inc_alt), np.float32),
+                    "quality": res["rec_qual"][inc_rec].astype(np.float32),
+                    "pass": res["rec_pass"][inc_rec],
+                    "contig": res["rec_contig"][inc_rec],
+                }
+                self.variant_count += _land_blocks(genome, None, cols, contig_names)
+        elif res["n_incidences"]:
+            inc_rec = res["inc_record"].astype(np.int64)
+            cols = {
+                "row": rows[row_start[inc_rec] + res["inc_allele"] - 1],
+                "phase": res["inc_phase"],
+                "ref_count": res["inc_ref_count"].astype(np.int64),
+                "alt_count": res["inc_alt_count"].astype(np.int64),
+                "dp": res["inc_dp"].astype(np.int64),
+                "gq": res["inc_gq"],
+                "quality": res["rec_qual"][inc_rec].astype(np.float32),
+                "pass": res["rec_pass"][inc_rec],
+                "contig": res["rec_contig"][inc_rec],
+            }
+            self.variant_count += _land_blocks(
+                self.population, res["inc_sample"], cols, contig_names,
+                genome_names=self.genome_names,
+            )
+        self.record_base += R
+
+    def finalize(self) -> None:
+        R = self.record_base
+        n_num = len(self.numeric_fields)
+        n_flag = len(self.flag_fields)
+        numeric = (
+            np.concatenate(self.numeric_chunks, axis=1)
+            if self.numeric_chunks else np.empty((n_num, R))
+        )
+        flags = (
+            np.concatenate(self.flag_chunks, axis=1)
+            if self.flag_chunks else np.empty((n_flag, R), dtype=bool)
+        )
+        self.info_store.load_native_columns(
+            self.numeric_fields, numeric, self.flag_fields, flags,
+            self.object_fields, self.object_cols, R,
+        )
 
 
 def _native_parse_population(
@@ -724,185 +887,109 @@ def _native_parse_population(
     contig_alias,
     genome_name: Optional[str],
 ) -> Optional[Tuple[PopulationDB, VCFHeader, InfoStore]]:
-    """End-to-end native ingest: the whole VCF body is tokenised by the C++
+    """End-to-end native ingest: the VCF body is tokenised by the C++
     record loop (kgl_gene_tpu/native/kgt_native.cpp, the TPU-era analogue of
     the reference's 50-thread consumer pool,
-    kgl_variant_factory_readvcf_impl.h:45) and lands as columnar arrays;
-    Python only interns unique alleles (one step per record, not per
-    genotype cell). Returns None when the fast path doesn't apply."""
+    kgl_variant_factory_readvcf_impl.h:45) in line-aligned chunks and lands
+    as columnar arrays; Python only interns unique alleles (one step per
+    record, not per genotype cell). Arbitrarily large files stream with
+    bounded memory (chunk size KGT_NATIVE_INGEST_CHUNK_BYTES, default
+    512 MiB). Returns None when the fast path doesn't apply."""
     from ..native import native_available, parse_vcf_records
 
     mode = _NATIVE_MODES.get(parser_type)
     if mode is None or not native_available():
         return None
-    try:
-        if os.path.getsize(path) > _NATIVE_MAX_BYTES:
-            return None
-    except OSError:
-        return None
-    text = _read_whole_bytes(path)
-    if text is None:
-        return None
-
-    # --- header (small, parsed in Python) ---------------------------------
-    header = VCFHeader()
-    body_start = 0
-    pos = 0
-    n = len(text)
-    while pos < n and text[pos : pos + 1] == b"#":
-        nl = text.find(b"\n", pos)
-        line_end = n if nl < 0 else nl
-        line = text[pos:line_end].decode("ascii", "replace").rstrip("\r")
-        if line.startswith("##"):
-            _parse_header_line(line, header)
-        elif line.startswith("#CHROM"):
-            fields = line.split("\t")
-            header.genome_names = fields[9:] if len(fields) > 9 else []
-        pos = line_end + 1
-        body_start = min(pos, n)
-
-    info_store = InfoStore(header.info_fields, subscribed_info)
-    numeric_fields, flag_fields, object_fields = info_store.split_native_fields()
-    genome_names = header.genome_names
-    n_samples = len(genome_names)
-
-    res = parse_vcf_records(
-        bytes(text), body_start, n_samples, mode, numeric_fields, flag_fields
+    chunk_size = int(
+        os.environ.get("KGT_NATIVE_INGEST_CHUNK_BYTES", 512 << 20)
     )
-    if res is None:
+    try:
+        stream = _open_decompressed_stream(path)
+    except OSError as exc:
+        log().error("VCF {}: cannot open ({})", path, exc)
         return None
 
-    population = PopulationDB(population_id, parser_type)
-    if mode == 0:
-        # Pre-create every sample genome (PfVCFImpl::setupPopulationStructure).
-        for name in genome_names:
-            population.get_create_genome(name)
+    with stream:
+        first = stream.read(chunk_size)
+        # --- header (small, parsed in Python) ------------------------------
+        header = VCFHeader()
+        body_start = 0
+        pos = 0
+        while True:
+            if pos >= len(first):
+                more = stream.read(chunk_size)
+                if not more:
+                    break
+                first += more
+                continue
+            if first[pos : pos + 1] != b"#":
+                break
+            nl = first.find(b"\n", pos)
+            if nl < 0:
+                more = stream.read(chunk_size)
+                if not more:
+                    nl = len(first)
+                else:
+                    first += more
+                    continue
+            line = first[pos:nl].decode("ascii", "replace").rstrip("\r")
+            if line.startswith("##"):
+                _parse_header_line(line, header)
+            elif line.startswith("#CHROM"):
+                fields = line.split("\t")
+                header.genome_names = fields[9:] if len(fields) > 9 else []
+            pos = nl + 1
+            body_start = min(pos, len(first))
 
-    R = res["n_records"]
-    if res["bad_records"]:
-        log().warn("VCF {}: {} malformed records skipped", path, res["bad_records"])
-    if res["ad_mismatch"]:
+        info_store = InfoStore(header.info_fields, subscribed_info)
+        genome_names = header.genome_names
+        n_samples = len(genome_names)
+
+        population = PopulationDB(population_id, parser_type)
+        if mode == 0:
+            # Pre-create every sample genome (setupPopulationStructure).
+            for name in genome_names:
+                population.get_create_genome(name)
+        lander = _NativeLander(
+            population, info_store, contig_alias, genome_name, mode,
+            genome_names,
+        )
+
+        chunk = first[body_start:]
+        first = b""
+        while chunk:
+            nxt = stream.read(chunk_size)
+            if nxt:
+                # cut at the last newline so records never split
+                cut = chunk.rfind(b"\n")
+                if cut < 0:
+                    chunk += nxt
+                    continue
+                carry = chunk[cut + 1 :]
+                chunk = chunk[: cut + 1]
+            else:
+                carry = b""
+            res = parse_vcf_records(
+                bytes(chunk), 0, n_samples, mode,
+                lander.numeric_fields, lander.flag_fields,
+            )
+            if res is None:
+                return None
+            lander.consume(res, chunk)
+            chunk = carry + nxt if nxt else b""
+
+    lander.finalize()
+    if lander.bad_records:
+        log().warn("VCF {}: {} malformed records skipped", path, lander.bad_records)
+    if lander.ad_mismatch:
         log().error(
             "VCF {}: {} genotype cells with AD depth count != allele count",
-            path, res["ad_mismatch"],
+            path, lander.ad_mismatch,
         )
-
-    # --- INFO columns ------------------------------------------------------
-    object_cols: Dict[str, List] = {}
-    if object_fields:
-        info_s, info_e = res["rec_info_start"], res["rec_info_end"]
-        object_cols = {fid: [] for fid in object_fields}
-        for r in range(R):
-            info_text = text[info_s[r] : info_e[r]].decode("ascii", "replace")
-            parsed: Dict[str, str] = {}
-            if info_text and info_text != MISSING:
-                for item in info_text.split(";"):
-                    if not item:
-                        continue
-                    if "=" in item:
-                        k, v = item.split("=", 1)
-                        parsed[k] = v
-                    else:
-                        parsed[item] = ""
-            for fid in object_fields:
-                object_cols[fid].append(
-                    info_store._parse_object(fid, parsed.get(fid))
-                )
-    info_store.load_native_columns(
-        numeric_fields, res["info_numeric"], flag_fields, res["info_flags"],
-        object_fields, object_cols, R,
-    )
-
-    # --- allele interning (one Python step per carrier record) -------------
-    text_np = np.frombuffer(text, dtype=np.uint8)
-    lut = DNA5.CHAR_TO_CODE
-    contig_names = [
-        text[res["contig_start"][c] : res["contig_end"][c]].decode("ascii")
-        for c in range(res["n_contigs"])
-    ]
-    if contig_alias is not None:
-        contig_names = [contig_alias.lookup(c) for c in contig_names]
-
-    A = res["n_alts"]
-    row_start = res["alt_row_start"]
-    alt_s, alt_e = res["alt_start"], res["alt_end"]
-    needed = np.zeros(A, dtype=bool)
-    if mode == 2:
-        # every well-formed alt becomes a variant of the single genome
-        alt_len = alt_e - alt_s
-        needed[:] = alt_len > 0
-        one_base = np.nonzero(alt_len == 1)[0]
-        bad = (text_np[alt_s[one_base]] == ord("*")) | (
-            text_np[alt_s[one_base]] == ord(".")
-        )
-        needed[one_base[bad]] = False
-    else:
-        if res["n_incidences"]:
-            needed[row_start[res["inc_record"]] + res["inc_allele"] - 1] = True
-
-    rows = np.full(A, -1, dtype=np.int64)
-    if A and needed.any():
-        rec_has = np.maximum.reduceat(needed.astype(np.int8), row_start[:-1]) > 0
-        intern = population.arena.intern
-        rec_contig = res["rec_contig"]
-        rec_pos = res["rec_pos"]
-        id_s, id_e = res["rec_id_start"], res["rec_id_end"]
-        ref_s, ref_e = res["rec_ref_start"], res["rec_ref_end"]
-        for r in np.nonzero(rec_has)[0]:
-            ref_codes = lut[text_np[ref_s[r] : ref_e[r]]]
-            ident = (
-                text[id_s[r] : id_e[r]].decode("ascii") if id_e[r] > id_s[r] else ""
-            )
-            cname = contig_names[rec_contig[r]]
-            offset = int(rec_pos[r])
-            for a in range(row_start[r], row_start[r + 1]):
-                if needed[a]:
-                    rows[a] = intern(
-                        cname, offset, ref_codes,
-                        lut[text_np[alt_s[a] : alt_e[a]]], ident, int(r),
-                    )
-
-    # --- incidence landing: bulk column blocks per (genome, contig) --------
-    variant_count = 0
-    if mode == 2:
-        inc_alt = np.nonzero(needed)[0]
-        if len(inc_alt):
-            counts = np.diff(row_start)
-            inc_rec = np.repeat(np.arange(R, dtype=np.int64), counts)[inc_alt]
-            genome = population.get_create_genome(genome_name or population_id)
-            cols = {
-                "row": rows[inc_alt],
-                "phase": np.full(len(inc_alt), int(VariantPhase.UNPHASED), np.uint8),
-                "ref_count": np.zeros(len(inc_alt), np.int64),
-                "alt_count": np.zeros(len(inc_alt), np.int64),
-                "dp": np.zeros(len(inc_alt), np.int64),
-                "gq": np.zeros(len(inc_alt), np.float32),
-                "quality": res["rec_qual"][inc_rec].astype(np.float32),
-                "pass": res["rec_pass"][inc_rec],
-                "contig": res["rec_contig"][inc_rec],
-            }
-            variant_count = _land_blocks(genome, None, cols, contig_names)
-    elif res["n_incidences"]:
-        inc_rec = res["inc_record"].astype(np.int64)
-        cols = {
-            "row": rows[row_start[inc_rec] + res["inc_allele"] - 1],
-            "phase": res["inc_phase"],
-            "ref_count": res["inc_ref_count"].astype(np.int64),
-            "alt_count": res["inc_alt_count"].astype(np.int64),
-            "dp": res["inc_dp"].astype(np.int64),
-            "gq": res["inc_gq"],
-            "quality": res["rec_qual"][inc_rec].astype(np.float32),
-            "pass": res["rec_pass"][inc_rec],
-            "contig": res["rec_contig"][inc_rec],
-        }
-        variant_count = _land_blocks(
-            population, res["inc_sample"], cols, contig_names,
-            genome_names=genome_names,
-        )
-
     log().info(
         "VCF {} [native]: parsed {} records -> {} variant incidences, {} genomes",
-        path, R, variant_count, population.genome_count(),
+        path, lander.record_base, lander.variant_count,
+        population.genome_count(),
     )
     return population, header, info_store
 

@@ -220,3 +220,39 @@ class TestNativeThroughput:
         het = sum(1 for i in range(n) if i % 3 == 1)
         assert pop_n.variant_count() == 2 * hom + het
         assert pop_n.genome_count() == n
+
+
+class TestChunkedIngest:
+    def test_tiny_chunks_equal_whole_file(self, tmp_path, monkeypatch):
+        """Chunked streaming (line-aligned cuts, global record bases) must
+        produce exactly the same population and INFO store as one-chunk
+        parsing — the >RAM-file path."""
+        path = write_vcf(str(tmp_path / "pf.vcf"))
+        whole = parse_vcf_population(
+            path, "pop", "PF_DIPLOID", subscribed_info=["AF", "DP", "VALIDATED"],
+            use_native=True,
+        )
+        # Chunk smaller than one record line: forces carry/merge logic.
+        monkeypatch.setenv("KGT_NATIVE_INGEST_CHUNK_BYTES", "64")
+        chunked = parse_vcf_population(
+            path, "pop", "PF_DIPLOID", subscribed_info=["AF", "DP", "VALIDATED"],
+            use_native=True,
+        )
+        assert _population_snapshot(chunked[0]) == _population_snapshot(whole[0])
+        info_w, info_c = whole[2], chunked[2]
+        assert info_c.count == info_w.count
+        np.testing.assert_array_equal(
+            info_c.float_column("DP"), info_w.float_column("DP")
+        )
+        for r in range(info_w.count):
+            assert info_c.object_value("AF", r) == info_w.object_value("AF", r)
+
+    def test_chunked_header_larger_than_first_read(self, tmp_path, monkeypatch):
+        """Headers spanning multiple chunk reads parse completely."""
+        path = write_vcf(str(tmp_path / "pf2.vcf"))
+        monkeypatch.setenv("KGT_NATIVE_INGEST_CHUNK_BYTES", "16")
+        pop, header, _ = parse_vcf_population(
+            path, "pop", "PF_DIPLOID", use_native=True
+        )
+        assert header.genome_names == ["S1", "S2", "S3", "S4"]
+        assert pop.variant_count() == 11
