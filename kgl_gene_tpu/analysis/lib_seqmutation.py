@@ -20,10 +20,16 @@ import numpy as np
 
 from ..classify.upgma import newick, upgma_tree
 from ..genome.contig import ContigReference
-from ..genome.features import CodingSequenceValidity, TranscriptionSequence
+from ..genome.features import (
+    CodingSequenceValidity,
+    TranscriptionSequence,
+    TranscriptionSequenceType,
+)
+from ..mutation.capture import batch_capture_tensors, capture_population
 from ..mutation.sequence_filter import SeqVariantFilterType
 from ..mutation.transcript import SequenceTranscript
 from ..ops.edit_distance import pairwise_distance_matrix
+from ..sequence.sequence import DNA5SequenceCoding, StrandSense
 from ..utils.logging import log
 from ..variant.db import PopulationDB
 
@@ -60,56 +66,161 @@ class TranscriptMutateRecord:
 
 class MutateGenes:
     """Mutate a transcript across every genome of a population
-    (MutateGenes::mutatePopulation)."""
+    (MutateGenes::mutatePopulation).
+
+    TPU routing: genomes whose selected variant set is provably SNP-only
+    (mutation/capture.py preconditions) run as ONE batched device forward
+    step (ops/pipeline.py) — scatter + splice + strand-convert + exact
+    edit distance on chip; the remainder (indels, allele conflicts) keep
+    the byte-exact AdjustedSequence host engine. This replaces the
+    reference's thread-per-genome pool
+    (kga_analysis_lib_seqmutation.cpp:116-140).
+    """
 
     def __init__(self, contig_ref: ContigReference,
                  filter_type: SeqVariantFilterType = SeqVariantFilterType.DEFAULT_SEQ_FILTER,
-                 info_store=None):
+                 info_store=None, use_device: bool = True):
         self.contig_ref = contig_ref
         self.filter_type = filter_type
         self.info_store = info_store
+        self.use_device = use_device
+        self._step_cache: Dict[Tuple[str, int, int], object] = {}
 
-    def mutate_transcript(
-        self, population: PopulationDB, transcript: TranscriptionSequence
-    ) -> Tuple[List[TranscriptMutateRecord], MutateStats]:
-        stats = MutateStats()
-        records: List[TranscriptMutateRecord] = []
-        reference_coding = self.contig_ref.coding_sequence(transcript).to_string()
-        for genome_id, genome in population:
-            stats.total_genomes += 1
-            contig_db = genome.get_contig(self.contig_ref.contig_id)
-            if contig_db is None or contig_db.variant_count() == 0:
-                records.append(
-                    TranscriptMutateRecord(
-                        genome_id, transcript.gene.feature_id, transcript.transcript_id,
-                        0, reference_coding,
-                        self.contig_ref.check_valid_transcript(transcript),
-                    )
-                )
-                continue
-            st = SequenceTranscript(
-                contig_db, self.contig_ref, transcript, self.filter_type,
-                self.info_store,
+    # ------------------------------------------------------------------ #
+    def _forward_step(self, transcript: TranscriptionSequence):
+        """Jitted device step for this transcript geometry (cached)."""
+        key = (transcript.transcript_id, transcript.start, transcript.end)
+        step = self._step_cache.get(key)
+        if step is None:
+            import jax
+
+            from ..ops.pipeline import make_forward_step
+
+            region = self.contig_ref.subsequence(transcript.interval).codes
+            step = make_forward_step(
+                region,
+                transcript.exon_arrays(),
+                region_start=transcript.start,
+                reverse_strand=transcript.strand is StrandSense.REVERSE,
+                table_name=self.contig_ref.coding_table.name,
+                use_pallas=jax.default_backend() in ("tpu", "axon"),
             )
-            n_variants = st.variant_count()
+            self._step_cache[key] = step
+        return step
+
+    def _host_mutate(
+        self, genome_id: str, contig_db, transcript: TranscriptionSequence,
+        stats: MutateStats,
+    ) -> TranscriptMutateRecord:
+        """Exact host engine for one genome (indel-correct path)."""
+        st = SequenceTranscript(
+            contig_db, self.contig_ref, transcript, self.filter_type,
+            self.info_store,
+        )
+        n_variants = st.variant_count()
+        stats.total_variants += n_variants
+        stats.total_snp += st.stats.total_snp_variants
+        stats.total_frameshift += st.stats.total_frame_shift
+        stats.duplicate_variants += st.stats.non_unique_count
+        stats.upstream_deleted += st.stats.upstream_deleted
+        if n_variants:
+            stats.mutant_genomes += 1
+        validity = st.modified_validity()
+        if CodingSequenceValidity.valid_sequence(validity):
+            stats.valid_proteins += 1
+        else:
+            stats.invalid_proteins += 1
+        return TranscriptMutateRecord(
+            genome_id, transcript.gene.feature_id, transcript.transcript_id,
+            n_variants, st.modified_coding().to_string(), validity,
+        )
+
+    def _device_mutate(
+        self, captures, transcript: TranscriptionSequence,
+        stats: MutateStats,
+    ) -> List[TranscriptMutateRecord]:
+        """One batched forward step for all SNP-only genomes."""
+        positions, alt_codes, valid = batch_capture_tensors(
+            captures, region_start=transcript.start
+        )
+        step = self._forward_step(transcript)
+        out = step(positions, alt_codes, valid)
+        coding = np.asarray(out.mutated_coding, dtype=np.uint8)
+        distance = np.asarray(out.distance)
+        records: List[TranscriptMutateRecord] = []
+        is_ncrna = transcript.coding_type is TranscriptionSequenceType.NCRNA
+        for i, cap in enumerate(captures):
+            seq = DNA5SequenceCoding(coding[i], transcript.strand)
+            if is_ncrna:
+                validity = CodingSequenceValidity.NCRNA
+            else:
+                validity = self.contig_ref.check_valid_coding_sequence(seq)
+            n_variants = cap.variant_count
             stats.total_variants += n_variants
-            stats.total_snp += st.stats.total_snp_variants
-            stats.total_frameshift += st.stats.total_frame_shift
-            stats.duplicate_variants += st.stats.non_unique_count
-            stats.upstream_deleted += st.stats.upstream_deleted
+            stats.total_snp += cap.stats.total_snp_variants
+            stats.total_frameshift += cap.stats.total_frame_shift
+            stats.duplicate_variants += cap.stats.non_unique_count
+            stats.upstream_deleted += cap.stats.upstream_deleted
             if n_variants:
                 stats.mutant_genomes += 1
-            validity = st.modified_validity()
             if CodingSequenceValidity.valid_sequence(validity):
                 stats.valid_proteins += 1
             else:
                 stats.invalid_proteins += 1
             records.append(
                 TranscriptMutateRecord(
-                    genome_id, transcript.gene.feature_id, transcript.transcript_id,
-                    n_variants, st.modified_coding().to_string(), validity,
+                    cap.genome_id, transcript.gene.feature_id,
+                    transcript.transcript_id, n_variants, seq.to_string(),
+                    validity, distance=int(distance[i]),
                 )
             )
+        return records
+
+    def mutate_transcript(
+        self, population: PopulationDB, transcript: TranscriptionSequence,
+        use_device: Optional[bool] = None,
+    ) -> Tuple[List[TranscriptMutateRecord], MutateStats]:
+        if use_device is None:
+            use_device = self.use_device
+        use_device = use_device and transcript.coding_nucleotides() >= 3
+        stats = MutateStats()
+        by_id: Dict[str, TranscriptMutateRecord] = {}
+        reference_coding = self.contig_ref.coding_sequence(transcript).to_string()
+
+        def ref_record(genome_id: str) -> TranscriptMutateRecord:
+            return TranscriptMutateRecord(
+                genome_id, transcript.gene.feature_id, transcript.transcript_id,
+                0, reference_coding,
+                self.contig_ref.check_valid_transcript(transcript),
+            )
+
+        contig_id = self.contig_ref.contig_id
+        if use_device:
+            cap = capture_population(population, contig_id, transcript.interval)
+            empty_ids, host_ids, device_caps = (
+                cap.empty_genome_ids, cap.host_genome_ids, cap.device
+            )
+        else:
+            empty_ids, host_ids, device_caps = [], [], []
+            for genome_id, genome in population:
+                contig_db = genome.get_contig(contig_id)
+                if contig_db is None or contig_db.variant_count() == 0:
+                    empty_ids.append(genome_id)
+                else:
+                    host_ids.append(genome_id)
+
+        stats.total_genomes = population.genome_count()
+        for genome_id in empty_ids:
+            by_id[genome_id] = ref_record(genome_id)
+        for genome_id in host_ids:
+            contig_db = population.get_genome(genome_id).get_contig(contig_id)
+            by_id[genome_id] = self._host_mutate(
+                genome_id, contig_db, transcript, stats
+            )
+        if device_caps:
+            for rec in self._device_mutate(device_caps, transcript, stats):
+                by_id[rec.genome_id] = rec
+        records = [by_id[gid] for gid in sorted(by_id)]
         return records, stats
 
 

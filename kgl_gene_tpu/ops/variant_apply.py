@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["apply_snp_batch", "translate_batch", "splice_batch"]
+__all__ = [
+    "apply_snp_batch",
+    "build_splice_index",
+    "gather_splice",
+    "reverse_complement_batch",
+    "translate_batch",
+]
 
 
 @jax.jit

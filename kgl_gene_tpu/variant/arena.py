@@ -105,11 +105,21 @@ class VariantArena:
         if self._frozen is None:
             ref_len = np.fromiter((len(b) for b in self._ref), dtype=np.int32, count=len(self._ref))
             alt_len = np.fromiter((len(b) for b in self._alt), dtype=np.int32, count=len(self._alt))
+            alt0 = np.fromiter(
+                (b[0] if b else 0 for b in self._alt), dtype=np.uint8,
+                count=len(self._alt),
+            )
+            ref0 = np.fromiter(
+                (b[0] if b else 0 for b in self._ref), dtype=np.uint8,
+                count=len(self._ref),
+            )
             self._frozen = {
                 "contig": np.asarray(self._contig, dtype=np.int32),
                 "offset": np.asarray(self._offset, dtype=np.int64),
                 "ref_len": ref_len,
                 "alt_len": alt_len,
+                "alt0": alt0,
+                "ref0": ref0,
             }
         return self._frozen
 
@@ -128,6 +138,16 @@ class VariantArena:
     @property
     def alt_lens(self) -> np.ndarray:
         return self._freeze()["alt_len"]
+
+    @property
+    def alt_first(self) -> np.ndarray:
+        """First alt base code per row (the applied base for 1X SNPs)."""
+        return self._freeze()["alt0"]
+
+    @property
+    def ref_first(self) -> np.ndarray:
+        """First ref base code per row."""
+        return self._freeze()["ref0"]
 
     def is_snp_column(self) -> np.ndarray:
         """Vectorized SNP classification over all rows (canonical rows are
