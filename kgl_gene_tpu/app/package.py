@@ -27,7 +27,7 @@ class ParserSelection:
     follow the DataSourceEnum vocabulary."""
 
     VCF_PARSERS = {"PF_DIPLOID", "PF7_VCF", "PF3K_VCF",
-                   "PHASED_DIPLOID", "GENOME1000_VCF",
+                   "PHASED_DIPLOID", "GENOME1000_VCF", "GNOMAD_DIPLOID",
                    "MONO_GENOME", "GNOMAD_VCF", "GRCH_VCF", "CLINVAR_VCF",
                    "DBSNP_VCF"}
 
@@ -50,6 +50,7 @@ class ParserSelection:
             vcf_kind = (
                 "PF_DIPLOID" if parser_type in ("PF_DIPLOID", "PF7_VCF", "PF3K_VCF")
                 else "PHASED_DIPLOID" if parser_type in ("PHASED_DIPLOID", "GENOME1000_VCF")
+                else "GNOMAD_DIPLOID" if parser_type == "GNOMAD_DIPLOID"
                 else "MONO_GENOME"
             )
             population, header, info_store = parse_vcf_population(

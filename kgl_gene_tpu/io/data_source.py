@@ -38,7 +38,7 @@ class DataSource(Enum):
 class ParserType(Enum):
     DiploidPhased = "PHASED_DIPLOID"
     DiploidFalciparum = "PF_DIPLOID"
-    DiploidGnomad = "PF_DIPLOID"  # gnomAD genomes parse with the diploid GT path
+    DiploidGnomad = "GNOMAD_DIPLOID"  # gnomAD per-sample genomes GT parser
     MonoGenomeUnphased = "MONO_GENOME"
     MonoDBSNPUnphased = "MONO_GENOME"
     MonoJSONdbSNPUnphased = "JSON_DBSNP"

@@ -35,6 +35,7 @@ from .streams import open_text_stream
 __all__ = [
     "VCFRecord", "VCFHeader", "InfoSchema", "InfoStore",
     "read_vcf", "PfDiploidParser", "MonoGenomeParser", "PhasedDiploidParser",
+    "GnomadDiploidParser",
     "parse_vcf_population",
 ]
 
@@ -681,6 +682,85 @@ class PhasedDiploidParser(_BaseVCFParser):
         return self.population
 
 
+class GnomadDiploidParser(_BaseVCFParser):
+    """Gnomad per-sample diploid genomes VCF (GenomeGnomadVCFImpl,
+    kgl_variant_factory_gnomad_impl.h:19-60, .cpp:62-311).
+
+    GT head of each genotype column only (no FORMAT evidence): 'a/b' is a
+    diploid call, a bare index is a haploid X/Y male call (phase A only),
+    '.' is reference. Carriers are grouped per alt allele and added
+    UNPHASED (both phase maps). Abstract alt alleles ('<NON_REF>' style
+    brackets) and '*' upstream alleles are skipped; out-of-range indices
+    and malformed GT heads warn and count as reference.
+    """
+
+    def parse(self, header: VCFHeader, records: Iterator[VCFRecord]) -> PopulationDB:
+        genome_names = header.genome_names
+        for record in records:
+            self.record_count += 1
+            info_row = self._info_row(record)
+            if len(genome_names) != len(record.genotypes):
+                log().warn(
+                    "Gnomad VCF record {}: {} genomes vs {} genotype columns",
+                    record.line_number, len(genome_names), len(record.genotypes),
+                )
+            # Group carrier genomes per alt index for each phase
+            # (.cpp:95-118 phase_A_map / phase_B_map).
+            phase_maps: Tuple[Dict[int, List[str]], Dict[int, List[str]]] = ({}, {})
+            n_alts = len(record.alts)
+            for genome_name, genotype in zip(genome_names, record.genotypes):
+                a_idx, b_idx = self._alternate_index(genotype, n_alts, record)
+                if a_idx:
+                    phase_maps[0].setdefault(a_idx - 1, []).append(genome_name)
+                if b_idx:
+                    phase_maps[1].setdefault(b_idx - 1, []).append(genome_name)
+            for phase_map in phase_maps:
+                for alt_idx, genomes in sorted(phase_map.items()):
+                    alt = record.alts[alt_idx]
+                    if not alt or alt == MISSING or alt == UPSTREAM_ALLELE:
+                        continue
+                    if "<" in alt:  # abstract alt (ABSTRACT_ALT_BRACKET_)
+                        continue
+                    fmt = FormatData(quality=record.quality)
+                    variant = self._make_variant(
+                        record, alt, VariantPhase.UNPHASED, fmt, info_row
+                    )
+                    self.population.add_variant(variant, genomes)
+                    self.variant_count += len(genomes)
+        return self.population
+
+    def _alternate_index(self, genotype: str, n_alts: int,
+                         record: VCFRecord) -> Tuple[int, int]:
+        """(phase A, phase B) alt indices; 0 = reference
+        (GenomeGnomadVCFImpl::alternateIndex, .cpp:146-235)."""
+        if len(genotype) < 3:  # MINIMUM_GENOTYPE_SIZE_
+            log().warn("Gnomad VCF record {}: genotype '{}' too short",
+                       record.line_number, genotype)
+            return 0, 0
+        gt = genotype.split(":", 1)[0]
+        parts = gt.split("/")
+        a = b = 0
+        try:
+            if len(parts) == 2:
+                if parts[0] != MISSING:
+                    a = int(parts[0])
+                if parts[1] != MISSING:
+                    b = int(parts[1])
+            else:
+                # No '/': haploid X/Y male indicator, phase A only.
+                if gt != MISSING:
+                    a = int(gt)
+        except ValueError:
+            log().warn("Gnomad VCF record {}: cannot parse GT '{}'",
+                       record.line_number, gt)
+            return 0, 0
+        if a < 0 or b < 0 or a > n_alts or b > n_alts:
+            log().warn("Gnomad VCF record {}: GT '{}' exceeds {} alts",
+                       record.line_number, gt, n_alts)
+            return 0, 0
+        return a, b
+
+
 # --------------------------------------------------------------------------- #
 # native end-to-end ingest (records never touch Python)
 # --------------------------------------------------------------------------- #
@@ -1039,7 +1119,95 @@ def _land_blocks(target, samples: Optional[np.ndarray], cols: dict,
 _PARSERS = {
     "PF_DIPLOID": PfDiploidParser,
     "PHASED_DIPLOID": PhasedDiploidParser,
+    "GNOMAD_DIPLOID": GnomadDiploidParser,
 }
+
+
+def _record_key(rec: VCFRecord) -> str:
+    """Deterministic record identity for the ingest-cursor fingerprint."""
+    return (
+        f"{rec.contig_id}:{rec.offset}:{rec.ref}:{','.join(rec.alts)}:"
+        f"{rec.genotype_text[:64]}"
+    )
+
+
+def _try_resume(checkpoint_path: str, path: str):
+    """Load (cursor, population, info_store) when a valid checkpoint whose
+    prefix fingerprint matches the file exists; None -> fresh ingest."""
+    import pickle
+
+    from .checkpoint import IngestCursor, load_population
+    from ..utils.string_hash import combine_hash, string_hash
+
+    cursor = IngestCursor.load(checkpoint_path)
+    snap = checkpoint_path + ".pop"
+    info_snap = checkpoint_path + ".info"
+    if cursor is None or cursor.file_path != path or not os.path.isfile(snap):
+        return None
+    # Re-verify the processed prefix: replay the first record_count records
+    # and compare the rolling hash (guards against a changed input file).
+    fp, n = 0, 0
+    _, records = read_vcf(path)
+    for rec in records:
+        if n >= cursor.record_count:
+            break
+        fp = combine_hash(fp, string_hash(_record_key(rec)))
+        n += 1
+    if n != cursor.record_count or fp != cursor.fingerprint:
+        log().warn(
+            "ingest cursor {}: prefix fingerprint mismatch (file changed?); "
+            "restarting ingest", checkpoint_path,
+        )
+        return None
+    population = load_population(snap)
+    info_store = None
+    if os.path.isfile(info_snap):
+        with open(info_snap, "rb") as f:
+            info_store = pickle.load(f)
+    log().info(
+        "ingest cursor {}: resuming {} at record {} ({} incidences restored)",
+        checkpoint_path, path, cursor.record_count, population.variant_count(),
+    )
+    return cursor, population, info_store
+
+
+def _checkpointed_records(records, cursor, checkpoint_path, every,
+                          population, info_store, parser_box):
+    """Wrap a record stream: skip the resumed prefix, advance the cursor per
+    processed record, snapshot population+info every `every` records."""
+    import pickle
+
+    from .checkpoint import save_population
+    from ..utils.string_hash import combine_hash, string_hash
+
+    skip = cursor.record_count
+
+    def snapshot():
+        parser = parser_box[0]
+        if parser is not None:
+            cursor.variant_count = parser.variant_count
+        save_population(population, checkpoint_path + ".pop")
+        if info_store is not None:
+            tmp = checkpoint_path + ".info.tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(info_store, f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, checkpoint_path + ".info")
+        cursor.save(checkpoint_path)  # cursor last: publish point
+
+    n_skipped = 0
+    for rec in records:
+        if n_skipped < skip:
+            n_skipped += 1
+            continue
+        yield rec
+        # Control returns here after the parser consumed the record.
+        cursor.fingerprint = combine_hash(
+            cursor.fingerprint, string_hash(_record_key(rec))
+        )
+        cursor.record_count += 1
+        cursor.line_number = rec.line_number
+        if every and cursor.record_count % every == 0:
+            snapshot()
 
 
 def parse_vcf_population(
@@ -1050,14 +1218,23 @@ def parse_vcf_population(
     contig_alias=None,
     genome_name: Optional[str] = None,
     use_native: Optional[bool] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10_000,
 ) -> Tuple[PopulationDB, VCFHeader, InfoStore]:
     """Parse a VCF into a PopulationDB (ParserSelection::parseData analogue,
     kgl_parser/kgl_variant_factory_parsers.cpp:27-73).
 
     use_native: None (auto) tries the end-to-end C++ record loop first and
     falls back to the streaming Python loop; False forces the streaming
-    path; True requires the native path (raises if unavailable)."""
-    if use_native is not False:
+    path; True requires the native path (raises if unavailable).
+
+    checkpoint_path: enable the ingest cursor (SURVEY.md section 5 failure
+    recovery). Every `checkpoint_every` records the population + INFO
+    columns snapshot to disk; an interrupted ingest re-invoked with the
+    same checkpoint_path resumes after the last snapshot (prefix verified
+    by rolling fingerprint) and produces the identical population. Forces
+    the streaming path."""
+    if checkpoint_path is None and use_native is not False:
         native = _native_parse_population(
             path, population_id, parser_type, subscribed_info, contig_alias,
             genome_name,
@@ -1079,9 +1256,30 @@ def parse_vcf_population(
         break
     info_store = InfoStore(header.info_fields, subscribed_info)
 
+    cursor = None
+    parser_box = [None]
+    if checkpoint_path is not None:
+        from .checkpoint import IngestCursor
+
+        resumed = _try_resume(checkpoint_path, path)
+        if resumed is not None:
+            cursor, population, resumed_info = resumed
+            population.population_id = population_id
+            if resumed_info is not None:
+                info_store = resumed_info
+        else:
+            cursor = IngestCursor(file_path=path)
+
     def chained():
         yield from first
         yield from records
+
+    stream = chained()
+    if cursor is not None:
+        stream = _checkpointed_records(
+            stream, cursor, checkpoint_path, checkpoint_every,
+            population, info_store, parser_box,
+        )
 
     if parser_type == "MONO_GENOME":
         parser = MonoGenomeParser(
@@ -1090,7 +1288,15 @@ def parse_vcf_population(
     else:
         parser_cls = _PARSERS.get(parser_type, PfDiploidParser)
         parser = parser_cls(population, info_store, contig_alias)
-    parser.parse(header, chained())
+    parser_box[0] = parser
+    parser.parse(header, stream)
+    if checkpoint_path is not None:
+        # Completed: the cursor files are no longer needed.
+        for suffix in ("", ".pop", ".info"):
+            try:
+                os.remove(checkpoint_path + suffix)
+            except OSError:
+                pass
     log().info(
         "VCF {}: parsed {} records -> {} variant incidences, {} genomes",
         path, parser.record_count, parser.variant_count, population.genome_count(),

@@ -113,6 +113,76 @@ class TestCheckpoint:
         assert orig == back
 
 
+class TestIngestResume:
+    """VERDICT round-1 weak #6: the cursor must be WIRED — an interrupted
+    ingest resumed from the checkpoint yields the identical population."""
+
+    @staticmethod
+    def _signature(pop):
+        return sorted(
+            (gid, cid, v.hgvs_phase(),
+             v.format_data.ref_count, v.format_data.alt_count,
+             v.format_data.dp_count, v.format_data.gq_value, v.pass_filter)
+            for gid, g in pop for cid, c in g for v in c
+        )
+
+    def test_crash_and_resume_identical(self, tmp_path, monkeypatch):
+        vcf = write_vcf(str(tmp_path / "pop.vcf"))
+        # Oracle: uninterrupted streaming parse.
+        oracle, _, oracle_info = parse_vcf_population(
+            vcf, "pop", "PF_DIPLOID", subscribed_info=["AF"], use_native=False
+        )
+        ckpt = str(tmp_path / "cursor.json")
+
+        # Crash mid-file: abort after 5 incidence adds (record 3 of 4).
+        from kgl_gene_tpu.variant.db import ContigDB
+
+        real_add = ContigDB.add_incidence
+        calls = {"n": 0}
+
+        def crashing_add(self, *args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] > 5:
+                raise RuntimeError("simulated ingest crash")
+            return real_add(self, *args, **kwargs)
+
+        monkeypatch.setattr(ContigDB, "add_incidence", crashing_add)
+        with pytest.raises(RuntimeError):
+            parse_vcf_population(
+                vcf, "pop", "PF_DIPLOID", subscribed_info=["AF"],
+                checkpoint_path=ckpt, checkpoint_every=1,
+            )
+        monkeypatch.setattr(ContigDB, "add_incidence", real_add)
+        assert os.path.isfile(ckpt)  # cursor survives the crash
+
+        # Resume: must skip the snapshotted prefix and finish identically.
+        resumed, _, resumed_info = parse_vcf_population(
+            vcf, "pop", "PF_DIPLOID", subscribed_info=["AF"],
+            checkpoint_path=ckpt, checkpoint_every=1,
+        )
+        assert self._signature(resumed) == self._signature(oracle)
+        assert resumed_info.count == oracle_info.count
+        # Completion removes the checkpoint files.
+        assert not os.path.exists(ckpt)
+        assert not os.path.exists(ckpt + ".pop")
+
+    def test_fingerprint_mismatch_restarts(self, tmp_path):
+        vcf = write_vcf(str(tmp_path / "pop.vcf"))
+        ckpt = str(tmp_path / "cursor.json")
+        # Forge a cursor claiming 2 processed records with a bogus hash.
+        IngestCursor(file_path=vcf, line_number=15, record_count=2,
+                     fingerprint=12345).save(ckpt)
+        pop, _, _ = parse_vcf_population(vcf, "pop2", "PF_DIPLOID",
+                                         use_native=False)
+        save_population(pop, ckpt + ".pop")
+        restarted, _, _ = parse_vcf_population(
+            vcf, "pop", "PF_DIPLOID", checkpoint_path=ckpt,
+        )
+        oracle, _, _ = parse_vcf_population(vcf, "pop", "PF_DIPLOID",
+                                            use_native=False)
+        assert self._signature(restarted) == self._signature(oracle)
+
+
 class TestResourceParsers:
     def test_pf7_sample_and_physical_distance(self, tmp_path):
         path = tmp_path / "samples.tsv"

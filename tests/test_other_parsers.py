@@ -73,6 +73,61 @@ class TestPhasedDiploid:
         assert variants[0].homozygous(variants[1])
 
 
+def _write_gnomad_vcf(path):
+    c1 = build_contig1()
+    alt = lambda pos, choice: next(a for a in choice if a != c1[pos])  # noqa: E731
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={CONTIG_1},length=400>\n")
+        f.write('##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n')
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">\n')
+        f.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="dp">\n')
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tG1\tG2\tG3\n")
+        # diploid het/hom/missing.
+        f.write(f"{CONTIG_1}\t21\trs0\t{c1[20]}\t{alt(20, 'AC')}\t50\tPASS\t"
+                f"AF=0.5\tGT:DP\t0/1:20\t1/1:30\t./.:10\n")
+        # multi-alt with an abstract <NON_REF> allele: index 2 skipped.
+        f.write(f"{CONTIG_1}\t31\trs1\t{c1[30]}\t{alt(30, 'GT')},<NON_REF>\t50\tPASS\t"
+                f"AF=0.5\tGT:DP\t0/2:20\t1/2:25\t0/0:30\n")
+        # haploid male-style GT (no '/') -> phase A only.
+        f.write(f"{CONTIG_1}\t41\trs2\t{c1[40]}\t{alt(40, 'TA')}\t50\tPASS\t"
+                f"AF=0.5\tGT:DP\t1:15\t0:22\t.:5\n")
+        # non-PASS record: still ingested, pass_filter False on the variant.
+        f.write(f"{CONTIG_1}\t51\trs3\t{c1[50]}\t{alt(50, 'CG')}\t50\tAC0\t"
+                f"AF=0.1\tGT:DP\t0/1:12\t0/0:30\t0/0:28\n")
+        # malformed GT head -> warned, treated as reference.
+        f.write(f"{CONTIG_1}\t61\trs4\t{c1[60]}\t{alt(60, 'GA')}\t50\tPASS\t"
+                f"AF=0.1\tGT:DP\tx/y:12\t0/0:30\t0/9:28\n")
+    return path
+
+
+class TestGnomadDiploid:
+    def test_genotype_semantics(self, tmp_path):
+        path = _write_gnomad_vcf(str(tmp_path / "gnomad.vcf"))
+        pop, header, info = parse_vcf_population(path, "gnomad", "GNOMAD_DIPLOID")
+        assert pop.genome_count() == 2  # only carrier genomes materialise
+        g1 = pop.get_genome("G1")
+        g2 = pop.get_genome("G2")
+        v1 = sorted(g1.get_contig(CONTIG_1), key=lambda v: v.offset)
+        # G1: rs0 het (1), rs2 haploid (1), rs3 non-PASS (1), rs1 0/2 abstract
+        # skipped, rs4 malformed skipped.
+        assert [v.offset for v in v1] == [20, 40, 50]
+        assert all(v.phase is VariantPhase.UNPHASED for v in v1)
+        assert v1[2].pass_filter is False  # AC0 record flagged, not dropped
+        v2 = sorted(g2.get_contig(CONTIG_1), key=lambda v: v.offset)
+        # G2: rs0 hom 1/1 -> TWO incidences; rs1 1/2 -> one (alt 2 abstract).
+        assert [v.offset for v in v2] == [20, 20, 30]
+        # G3: './.', '0/0', '.', '0/0', '0/9 out of range' -> no genome entry.
+        assert pop.get_genome("G3") is None
+
+    def test_dispatch_table(self):
+        from kgl_gene_tpu.io.data_source import ParserType, find_characteristic
+
+        c = find_characteristic("GnomadGenome3_1")
+        assert c.parser_type is ParserType.DiploidGnomad
+        assert c.parser_type.value == "GNOMAD_DIPLOID"
+
+
 class TestMonoGenome:
     def test_aggregate_parse(self, tmp_path):
         path = _write_aggregate_vcf(str(tmp_path / "agg.vcf"))
