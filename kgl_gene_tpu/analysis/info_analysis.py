@@ -58,6 +58,14 @@ class IntervalAnalysis(VirtualAnalysis):
             offsets = view.offsets[mask]
             rows = view.rows[mask]
             snp = snp_col[rows]
+            # Transition SNPs (A<->G / C<->T) for the Ti/Tv density column
+            # (kga_analysis_interval.cpp:389-399: isTransition(alt0, ref0)).
+            from ..sequence.alphabet import DNA5
+
+            transition = snp & np.asarray(
+                DNA5.is_transition(arena.alt_first[rows], arena.ref_first[rows]),
+                dtype=bool,
+            )
             contig_ref = (
                 self.genome_reference.get_contig(contig_id)
                 if self.genome_reference else None
@@ -67,22 +75,29 @@ class IntervalAnalysis(VirtualAnalysis):
             bins = (offsets // self.interval_size).astype(np.int64)
             variant_counts = np.bincount(bins, minlength=n_bins)
             snp_counts = np.bincount(bins[snp], minlength=n_bins)
+            ti_counts = np.bincount(bins[transition], minlength=n_bins)
             empty = int(np.sum(variant_counts == 0))
             log().info(
                 "INTERVAL {}: {} bins of {} bp, {} empty, max density {}",
                 contig_id, n_bins, self.interval_size, empty, int(variant_counts.max()),
             )
             for b in range(n_bins):
+                ti = int(ti_counts[b])
+                tv = int(snp_counts[b]) - ti
+                # Ti/Tv ratio per interval (kga_analysis_interval.cpp:602-604).
+                ti_tv = (ti / tv) if tv > 0 else 0.0
                 self.rows.append(
                     f"{contig_id},{b * self.interval_size},"
-                    f"{int(variant_counts[b])},{int(snp_counts[b])}"
+                    f"{int(variant_counts[b])},{int(snp_counts[b])},"
+                    f"{ti},{tv},{ti_tv:.6g}"
                 )
         return True
 
     def finalize_analysis(self) -> bool:
         path = os.path.join(self.work_directory, "interval_density.csv")
         with open(path, "w") as f:
-            f.write("Contig,Start,VariantCount,SNPCount\n")
+            f.write("Contig,Start,VariantCount,SNPCount,"
+                    "TransitionCount,TransversionCount,TiTv\n")
             f.write("\n".join(self.rows) + ("\n" if self.rows else ""))
         return True
 

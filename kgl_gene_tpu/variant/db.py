@@ -384,6 +384,19 @@ class PopulationDB:
                         )
         return out
 
+    def square_contigs(self) -> int:
+        """Ensure every genome holds every contig present anywhere in the
+        population (empty ContigDBs created as needed); returns the contig
+        count (PopulationDB::squareContigs,
+        kgl_variant_db_population.h:100, .cpp:258-295)."""
+        contig_set = set()
+        for _, genome in self.genome_map.items():
+            contig_set.update(genome.contig_map)
+        for _, genome in self.genome_map.items():
+            for contig_id in contig_set:
+                genome.get_create_contig(contig_id)
+        return len(contig_set)
+
     def validate(self, genome_reference) -> Tuple[int, int]:
         """Validate every variant's ref sequence against the reference
         genome; returns (total, failed)."""

@@ -147,10 +147,36 @@ class TestExecutePackage:
         # Interval density CSV sanity: 4 bins of 100 for contig1 (400bp).
         with open(os.path.join(work_dir, "interval_density.csv")) as f:
             lines = f.read().strip().split("\n")
+        assert lines[0] == ("Contig,Start,VariantCount,SNPCount,"
+                            "TransitionCount,TransversionCount,TiTv")
         contig1_rows = [l for l in lines[1:] if l.startswith(CONTIG_1)]
         assert len(contig1_rows) == 4
         total_variants = sum(int(r.split(",")[2]) for r in contig1_rows)
         assert total_variants == 5  # unique alleles on contig 1
+        # Ti/Tv densities (kga_analysis_interval.h:87-121): every SNP is a
+        # transition or a transversion, and the fixture counts match the
+        # spec-derived oracle.
+        from kgl_gene_tpu.sequence.alphabet import DNA5
+        from fixtures import vcf_variant_specs
+
+        expected_ti = expected_tv = 0
+        for spec in vcf_variant_specs():
+            if spec["contig"] != CONTIG_1:
+                continue
+            for alt in spec["alts"]:
+                if len(spec["ref"]) == 1 and len(alt) == 1:
+                    ref_c = DNA5.from_string(spec["ref"])[0]
+                    alt_c = DNA5.from_string(alt)[0]
+                    if bool(DNA5.is_transition(np.array([alt_c]), np.array([ref_c]))[0]):
+                        expected_ti += 1
+                    else:
+                        expected_tv += 1
+        total_ti = sum(int(r.split(",")[4]) for r in contig1_rows)
+        total_tv = sum(int(r.split(",")[5]) for r in contig1_rows)
+        assert (total_ti, total_tv) == (expected_ti, expected_tv)
+        for r in contig1_rows:
+            parts = r.split(",")
+            assert int(parts[3]) == int(parts[4]) + int(parts[5])
 
         # Inbreeding CSV has one row per sample genome.
         with open(os.path.join(work_dir, "inbreeding.csv")) as f:

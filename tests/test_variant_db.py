@@ -230,6 +230,23 @@ class TestFilters:
         assert pop.view_filter(PassFilter()).variant_count() == pop.variant_count()
 
 
+class TestSquareContigs:
+    def test_square_contigs(self, population):
+        pop, _, _ = population
+        squared = pop.deep_copy()
+        # Give one genome a private contig, then square.
+        extra = squared.get_genome("S1").get_create_contig("private_ctg")
+        assert squared.get_genome("S2").get_contig("private_ctg") is None
+        n = squared.square_contigs()
+        contig_ids = {cid for _, g in squared for cid, _ in g}
+        assert n == len(contig_ids)
+        for gid, genome in squared:
+            for cid in contig_ids:
+                assert genome.get_contig(cid) is not None
+        # Squaring adds only EMPTY contigs — incidence counts unchanged.
+        assert squared.variant_count() == pop.variant_count()
+
+
 class TestTransforms:
     def test_compress(self, population):
         pop, _, _ = population
