@@ -1,0 +1,82 @@
+"""Multichip step parity: the shard_map step over the 8-device CPU mesh
+must equal the single-device forward step on identical inputs (VERDICT
+round-1 weak #4)."""
+
+import numpy as np
+import pytest
+
+from kgl_gene_tpu.ops.pipeline import make_forward_step, make_multichip_step
+from kgl_gene_tpu.parallel.mesh import sample_mesh, shard_samples
+
+
+def _geometry(seed=0, L=240):
+    rng = np.random.default_rng(seed)
+    region = rng.integers(0, 4, size=L).astype(np.uint8)
+    exons = np.array([[20, 80], [120, 180]], dtype=np.int64)
+    return region, exons
+
+
+def _batch(batch, n_snps, L, seed=1):
+    rng = np.random.default_rng(seed)
+    positions = rng.integers(0, L, size=(batch, n_snps)).astype(np.int32)
+    alt_codes = rng.integers(0, 4, size=(batch, n_snps)).astype(np.uint8)
+    valid = rng.random((batch, n_snps)) < 0.7
+    return positions, alt_codes, valid
+
+
+class TestMultichipParity:
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_equals_single_device(self, reverse):
+        import jax
+
+        region, exons = _geometry()
+        mesh = sample_mesh(8)
+        B, K = 32, 6
+        positions, alt_codes, valid = _batch(B, K, len(region))
+        zygosity = (np.random.default_rng(2).random((B, 16)) * 3).astype(np.uint8)
+
+        single = make_forward_step(region, exons, region_start=0,
+                                   reverse_strand=reverse)
+        ref = single(positions, alt_codes, valid)
+
+        multi = make_multichip_step(mesh, region, exons, region_start=0,
+                                    reverse_strand=reverse)
+        distance, allele_counts, pop_ac = multi(
+            shard_samples(positions, mesh),
+            shard_samples(alt_codes, mesh),
+            shard_samples(valid, mesh),
+            shard_samples(zygosity, mesh),
+        )
+        np.testing.assert_array_equal(np.asarray(distance), np.asarray(ref.distance))
+        # psum-merged allele counts == single-device batch reduction.
+        np.testing.assert_array_equal(
+            np.asarray(allele_counts), np.asarray(ref.allele_counts)
+        )
+        # pop AC == direct zygosity column sums.
+        np.testing.assert_array_equal(
+            np.asarray(pop_ac), zygosity.astype(np.int64).sum(axis=0)
+        )
+
+    def test_ragged_batch_padding(self):
+        """Batch not divisible by the mesh: shard_samples pads with zeros;
+        padded genomes carry no valid SNPs and distance 0."""
+        region, exons = _geometry(seed=3)
+        mesh = sample_mesh(8)
+        B, K = 12, 4  # pads to 16
+        positions, alt_codes, valid = _batch(B, K, len(region), seed=4)
+        zygosity = np.zeros((B, 8), dtype=np.uint8)
+
+        single = make_forward_step(region, exons, region_start=0)
+        ref = single(positions, alt_codes, valid)
+        multi = make_multichip_step(mesh, region, exons, region_start=0)
+        distance, allele_counts, _ = multi(
+            shard_samples(positions, mesh),
+            shard_samples(alt_codes, mesh),
+            shard_samples(valid, mesh),
+            shard_samples(zygosity, mesh),
+        )
+        np.testing.assert_array_equal(np.asarray(distance)[:B],
+                                      np.asarray(ref.distance))
+        np.testing.assert_array_equal(np.asarray(distance)[B:], 0)
+        np.testing.assert_array_equal(np.asarray(allele_counts),
+                                      np.asarray(ref.allele_counts))
