@@ -25,23 +25,34 @@ __all__ = ["ancestor_lists", "mica_matrix_device", "lin_matrix_device"]
 
 
 def ancestor_lists(information, term_indices: Sequence[int],
-                   max_ancestors: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+                   max_ancestors: Optional[int] = None,
+                   ) -> Tuple[np.ndarray, np.ndarray]:
     """(n, K) ancestor ids (-1 pad) and IC values for each term.
 
-    Ancestors beyond max_ancestors keep the HIGHEST-IC entries (the ones
-    that can be the MICA)."""
+    max_ancestors=None (the default) is EXACT: K pads to the longest
+    ancestor list in the subset (rounded to a lane multiple) and the
+    chunked tile kernel scans every ancestor pair. Passing an int keeps
+    the old top-IC truncation (approximate for terms with more ancestors
+    — the true MICA of a pair can rank below the cut in BOTH lists)."""
     graph = information.graph
     anc_bits = graph.ancestor_bitsets()
     ic = information.ic
     n = len(term_indices)
-    ids = np.full((n, max_ancestors), -1, dtype=np.int32)
-    vals = np.zeros((n, max_ancestors), dtype=np.float32)
+    anc_all = [graph._bits_to_indices(anc_bits[t]) for t in term_indices]
+    if max_ancestors is None:
+        longest = max((len(a) for a in anc_all), default=1)
+        K = max(64, ((longest + 63) // 64) * 64)
+        truncate = False
+    else:
+        K = max_ancestors
+        truncate = True
+    ids = np.full((n, K), -1, dtype=np.int32)
+    vals = np.zeros((n, K), dtype=np.float32)
     overflow = 0
-    for row, term_idx in enumerate(term_indices):
-        anc = graph._bits_to_indices(anc_bits[term_idx])
-        if len(anc) > max_ancestors:
+    for row, anc in enumerate(anc_all):
+        if truncate and len(anc) > K:
             overflow += 1
-            order = np.argsort(ic[anc])[::-1][:max_ancestors]
+            order = np.argsort(ic[anc])[::-1][:K]
             anc = anc[order]
         ids[row, : len(anc)] = anc
         vals[row, : len(anc)] = ic[anc]
@@ -49,11 +60,11 @@ def ancestor_lists(information, term_indices: Sequence[int],
         from ..utils.logging import log
 
         log().warn("ancestor_lists: {} terms truncated to top-{} IC ancestors",
-                   overflow, max_ancestors)
+                   overflow, K)
     return ids, vals
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _mica_tile(ids_i, ic_i, ids_j, ic_j):
     """(TI, K) x (TJ, K) -> (TI, TJ) max-min over matching ancestor ids."""
     eq = ids_i[:, None, :, None] == ids_j[None, :, None, :]
@@ -62,20 +73,52 @@ def _mica_tile(ids_i, ic_i, ids_j, ic_j):
     return jnp.max(jnp.where(eq, pair_min, 0.0), axis=(2, 3))
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _mica_tile_chunked(ids_i, ic_i, ids_j, ic_j, chunk: int = 64):
+    """Exact tile for arbitrary ancestor width: fori over (chunk, chunk)
+    sub-blocks of the (K_i, K_j) ancestor cross product, so VMEM holds one
+    (TI, TJ, chunk, chunk) compare block at a time."""
+    ci = ids_i.shape[1] // chunk
+    cj = ids_j.shape[1] // chunk
+    TI, TJ = ids_i.shape[0], ids_j.shape[0]
+
+    def body(c, acc):
+        a = (c // cj) * chunk
+        b = (c % cj) * chunk
+        idi = jax.lax.dynamic_slice(ids_i, (0, a), (TI, chunk))
+        ici = jax.lax.dynamic_slice(ic_i, (0, a), (TI, chunk))
+        idj = jax.lax.dynamic_slice(ids_j, (0, b), (TJ, chunk))
+        icj = jax.lax.dynamic_slice(ic_j, (0, b), (TJ, chunk))
+        eq = (idi[:, None, :, None] == idj[None, :, None, :]) & (
+            idi[:, None, :, None] >= 0
+        )
+        pair_min = jnp.minimum(ici[:, None, :, None], icj[None, :, None, :])
+        return jnp.maximum(acc, jnp.max(jnp.where(eq, pair_min, 0.0), axis=(2, 3)))
+
+    init = jnp.zeros((TI, TJ), jnp.float32)
+    return jax.lax.fori_loop(0, ci * cj, body, init)
+
+
 def mica_matrix_device(information, term_indices: Sequence[int],
-                       tile: int = 128, max_ancestors: int = 64) -> np.ndarray:
-    """All-pairs MICA IC over a term subset, tiled on device."""
+                       tile: int = 128,
+                       max_ancestors: Optional[int] = None) -> np.ndarray:
+    """All-pairs MICA IC over a term subset, tiled on device. Exact by
+    default (chunked ancestor scan; kol_SimilarityCache.cpp:126-150)."""
     ids, vals = ancestor_lists(information, term_indices, max_ancestors)
     n = len(term_indices)
+    K = ids.shape[1]
     ids_d = jnp.asarray(ids)
     vals_d = jnp.asarray(vals)
+    kernel = _mica_tile if K <= 64 else functools.partial(
+        _mica_tile_chunked, chunk=64
+    )
     out = np.zeros((n, n), dtype=np.float32)
     for i0 in range(0, n, tile):
         i1 = min(i0 + tile, n)
         for j0 in range(i0, n, tile):
             j1 = min(j0 + tile, n)
             block = np.asarray(
-                _mica_tile(ids_d[i0:i1], vals_d[i0:i1], ids_d[j0:j1], vals_d[j0:j1])
+                kernel(ids_d[i0:i1], vals_d[i0:i1], ids_d[j0:j1], vals_d[j0:j1])
             )
             out[i0:i1, j0:j1] = block
             if j0 != i0:
@@ -84,7 +127,8 @@ def mica_matrix_device(information, term_indices: Sequence[int],
 
 
 def lin_matrix_device(information, term_ids: Sequence[str],
-                      tile: int = 128, max_ancestors: int = 64) -> np.ndarray:
+                      tile: int = 128,
+                      max_ancestors: Optional[int] = None) -> np.ndarray:
     """Lin similarity matrix computed from the device MICA path; matches
     SimilarityLin.similarity_matrix bit-for-bit up to f32 rounding."""
     graph = information.graph

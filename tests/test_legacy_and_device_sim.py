@@ -129,3 +129,48 @@ class TestDeviceSimilarity:
         want = lin.similarity_matrix(terms)
         got = lin_matrix_device(info, terms, tile=3)
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_exact_at_deep_dag(self, tmp_path):
+        """VERDICT round-1 weak #7: device MICA must equal the host path on
+        a DAG whose terms have >64 ancestors (chunked kernel engages; the
+        old top-64-IC truncation silently lowered similarities here)."""
+        from kgl_gene_tpu.io.gaf import GafRecord
+        from kgl_gene_tpu.ontology.annotation import TermAnnotation
+        from kgl_gene_tpu.ontology.graph import GoGraph
+        from kgl_gene_tpu.ontology.information import InformationContent
+        from kgl_gene_tpu.ontology.obo import parse_go_obo
+        from kgl_gene_tpu.ops.similarity import ancestor_lists, mica_matrix_device
+
+        from test_ontology import _gaf
+
+        depth = 150
+
+        def tid(i):  # term 0 is the canonical BP root (root_index lookup)
+            return "GO:0008150" if i == 0 else f"GO:{i:07d}"
+
+        lines = ["format-version: 1.2", ""]
+        for i in range(depth):
+            lines += ["[Term]", f"id: {tid(i)}", f"name: t{i}",
+                      "namespace: biological_process"]
+            if i > 0:
+                lines.append(f"is_a: {tid(i - 1)} ! t{i - 1}")
+            if i == 120:  # a side parent deep in the chain (true DAG)
+                lines.append(f"is_a: {tid(50)} ! t50")
+            lines.append("")
+        path = tmp_path / "deep.obo"
+        path.write_text("\n".join(lines))
+        graph = GoGraph(parse_go_obo(str(path)))
+        # Annotate genes at several depths so ICs increase with depth.
+        gafs = [_gaf(f"gene{k}", tid(k)) for k in range(0, depth, 7)]
+        info = InformationContent(graph, TermAnnotation(gafs, graph=graph))
+
+        idxs = [graph.term_index(tid(i)) for i in (30, 70, 100, 130, 140, 149)]
+        ids, _ = ancestor_lists(info, idxs)
+        assert ids.shape[1] > 64  # chunked tile path is actually exercised
+        want = info.mica_matrix(idxs)
+        got = mica_matrix_device(info, idxs, tile=4)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # The truncated mode differs somewhere on this DAG (documents why
+        # exact is the default).
+        approx = mica_matrix_device(info, idxs, tile=4, max_ancestors=64)
+        assert not np.allclose(approx, want, atol=1e-6)
