@@ -9,8 +9,10 @@ Times, in one process (to share remote-compile warmth):
 """
 
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
@@ -54,11 +56,11 @@ step = make_forward_step(region, EXONS, region_start=0, use_pallas=True)
 d_pos = jax.device_put(positions)
 d_alt = jax.device_put(alt_codes)
 d_val = jax.device_put(valid)
-timeit("full step (device inputs)", step, d_pos, d_val.astype(np.uint8) * 0 + d_alt, d_val)
+timeit("full step (device inputs)", step, d_pos, d_alt, d_val)
 timeit("full step (host inputs, like bench)", step, positions, alt_codes, valid)
 
 # pre-DP only
-from kgl_gene_tpu.sequence.alphabet import DNA5, AminoAcid
+from kgl_gene_tpu.sequence.alphabet import AminoAcid
 from kgl_gene_tpu.sequence.tables import amino_translation_table
 from kgl_gene_tpu.ops.variant_apply import build_splice_index
 
@@ -86,7 +88,7 @@ timeit("pre-DP (apply+splice+translate+valid)", pre_dp, d_pos, d_alt, d_val)
 
 # banded kernel alone, padded device-resident inputs
 band_k = 63
-band_w = 128
+band_w = ((2 * band_k + 1 + 127) // 128) * 128  # same formula as _banded_call
 win_w = band_w + 256
 Wa = ((S + 127) // 128) * 128
 block_b = 256
