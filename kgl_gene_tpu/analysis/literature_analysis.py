@@ -62,6 +62,7 @@ class LiteratureAnalysis(VirtualAnalysis):
                     if pmids:
                         self.gene_pmids.setdefault(symbol, set()).update(pmids)
         path = os.path.join(self.work_directory, "gene_literature.csv")
+        all_publications: Dict[str, object] = {}
         with open(path, "w") as f:
             f.write("Gene,PMID,CitationCount,Title\n")
             for gene in sorted(self.gene_pmids):
@@ -69,6 +70,7 @@ class LiteratureAnalysis(VirtualAnalysis):
                 publications = (
                     self.pubmed.get_publications(pmids) if self.pubmed else {}
                 )
+                all_publications.update(publications)
                 ranked = sorted(
                     pmids,
                     key=lambda p: publications[p].citation_count() if p in publications else 0,
@@ -79,5 +81,60 @@ class LiteratureAnalysis(VirtualAnalysis):
                     cites = pub.citation_count() if pub else ""
                     title = pub.title.replace(",", ";") if pub else ""
                     f.write(f"{gene},{pmid},{cites},{title}\n")
+        if all_publications:
+            self._write_publication_maps(all_publications)
         log().info("LITERATURE: {} genes/alleles with publications", len(self.gene_pmids))
         return True
+
+    def _write_publication_maps(self, publications) -> None:
+        """The PublicationLiterature analysis-map reports
+        (kga_analysis_literature_publication.h:18-35): author / year /
+        journal maps, citation period, histogram, and quantiles."""
+        maps = PublicationMaps(publications)
+
+        def write(name: str, header: str, rows) -> None:
+            with open(os.path.join(self.work_directory, name), "w") as f:
+                f.write(header + "\n")
+                for row in rows:
+                    f.write(",".join(str(x) for x in row) + "\n")
+
+        write(
+            "literature_authors.csv", "Author,Publications,TotalCitations",
+            sorted(
+                ((author, len(pubs), sum(p.citation_count() for p in pubs))
+                 for author, pubs in maps.by_author().items()),
+                key=lambda r: -r[2],
+            ),
+        )
+        write(
+            "literature_years.csv", "Year,Publications,TotalCitations",
+            sorted(
+                (year, len(pubs), sum(p.citation_count() for p in pubs))
+                for year, pubs in maps.by_year().items()
+            ),
+        )
+        write(
+            "literature_journals.csv", "Journal,Publications,TotalCitations",
+            sorted(
+                ((j.replace(",", ";"), len(pubs),
+                  sum(p.citation_count() for p in pubs))
+                 for j, pubs in maps.by_journal().items()),
+                key=lambda r: -r[1],
+            ),
+        )
+        write(
+            "literature_citation_period.csv", "MonthsAfterPublication,Citations",
+            maps.citation_period().items(),
+        )
+        write(
+            "literature_citation_histogram.csv", "CitationCount,Publications",
+            maps.citation_distribution(months_elapsed=0),
+        )
+        quartiles = maps.citation_quartiles(months_elapsed=0)
+        rows = []
+        for fraction in (0.25, 0.5, 0.75, 0.9, 0.95):
+            element = quartiles.percentile(fraction)
+            if element is not None:
+                value, pub = element
+                rows.append((fraction, int(value), pub.pmid if pub else ""))
+        write("literature_citation_quartiles.csv", "Fraction,Citations,PMID", rows)

@@ -33,6 +33,8 @@ __all__ = [
     "QueueTidal",
     "QueueMonitor",
     "WorkflowPipeline",
+    "WorkflowAsync",
+    "MTStreamBuffer",
 ]
 
 T = TypeVar("T")
@@ -245,3 +247,112 @@ class WorkflowPipeline(Generic[T, U]):
                 break
             yield pending.get().result()
             in_flight -= 1
+
+
+class WorkflowAsync(Generic[T]):
+    """Unordered async workflow with stop-token shutdown
+    (kel_thread/kel_workflow_async.h:33-140).
+
+    N worker threads pop queued objects and apply the workflow function.
+    When a thread pops the STOP token it re-queues it for its siblings and
+    terminates; the LAST thread instead calls the workflow function WITH
+    the stop token — which is how multi-stage chains gang: stage N's
+    function pushes into stage N+1, so the token cascades down the chain
+    and every stage drains in order.
+    """
+
+    def __init__(self, stop_token: T, queue_obj=None):
+        self.stop_token = stop_token
+        self.queue = queue_obj if queue_obj is not None else QueueMtSafe()
+        self._threads: List[threading.Thread] = []
+        self._active = 0
+        self._lock = threading.Lock()
+        self._work_fn: Optional[Callable] = None
+
+    def activate_workflow(self, threads: int, fn: Callable, *args) -> bool:
+        """Start the workers; returns False if already active. `fn` is
+        called as fn(*args, item) on every queued object (and, by the last
+        thread, on the stop token itself)."""
+        with self._lock:
+            if self._active > 0:
+                return False
+            self._work_fn = lambda item: fn(*args, item)
+            n = max(1, threads)
+            self._active = n
+        for _ in range(n):
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return True
+
+    def push(self, item: T) -> None:
+        self.queue.push(item)
+
+    def stop(self) -> None:
+        """Push the stop token and block until all workers exit."""
+        self.queue.push(self.stop_token)
+        self.join()
+
+    def join(self) -> None:
+        for t in self._threads:
+            t.join()
+        self._threads.clear()
+
+    def _worker(self) -> None:
+        while True:
+            item = self.queue.wait_and_pop()
+            if item == self.stop_token:
+                with self._lock:
+                    self._active -= 1
+                    last = self._active == 0
+                if last:
+                    # Last thread out: forward the token through the
+                    # workflow function so ganged downstream stages stop.
+                    self._work_fn(item)
+                else:
+                    self.queue.push(item)
+                return
+            self._work_fn(item)
+
+
+class MTStreamBuffer:
+    """Dedicated reader-thread stream buffer (MTStreamIO / kel_mt_buffer.h):
+    a daemon thread pulls lines from a text stream into a tidal queue so
+    parsing never waits on IO; readLine pops with backpressure intact."""
+
+    EOF = None
+
+    def __init__(self, stream, high_tide: int = 100_000, low_tide: int = 20_000):
+        self._stream = stream
+        self._queue: QueueTidal = QueueTidal(high_tide, low_tide, "mt_stream")
+        self._eof = False
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self) -> None:
+        try:
+            for line in self._stream:
+                self._queue.push(line)
+        finally:
+            self._queue.push(self.EOF)
+
+    def read_line(self) -> Optional[str]:
+        """Next line or None at end of stream."""
+        if self._eof:
+            return None
+        line = self._queue.wait_and_pop()
+        if line is self.EOF:
+            self._eof = True
+            return None
+        return line
+
+    def __iter__(self) -> Iterator[str]:
+        while True:
+            line = self.read_line()
+            if line is None:
+                return
+            yield line
+
+    def close(self) -> None:
+        self._stream.close()
+        self._thread.join(timeout=5)

@@ -123,3 +123,49 @@ class TestAnalysisMaps:
         assert len(analysis.by_journal()["Journal of Synthetic Tests"]) == 2
         ranked = analysis.by_citation_count()
         assert ranked[0].pmid == "12345"
+
+    @staticmethod
+    def _citation_collection():
+        """Base paper (2015-01) cited by three dated papers."""
+        pubs = {
+            "base": PublicationSummary(
+                pmid="base", publication_date="2015-01-10",
+                journal="J1", authors=[("Ada", "L")],
+                cited_by={"c1", "c2", "c3", "missing"},
+            ),
+            "c1": PublicationSummary(pmid="c1", publication_date="2015-04"),
+            "c2": PublicationSummary(pmid="c2", publication_date="2016-01"),
+            "c3": PublicationSummary(pmid="c3", publication_date="2016-01"),
+            "late": PublicationSummary(pmid="late", publication_date="2026-01"),
+        }
+        return pubs
+
+    def test_citation_period(self):
+        analysis = LiteratureAnalysis(self._citation_collection())
+        # c1: +3 months; c2/c3: +12 months; 'missing' unresolvable.
+        assert analysis.citation_period() == {3: 1, 12: 2}
+        assert analysis.publication_citations("base") == [(3, 1), (12, 2)]
+        assert analysis.publication_citations("nope") == []
+
+    def test_citation_variance_cumulative(self):
+        analysis = LiteratureAnalysis(self._citation_collection())
+        var = analysis.citation_variance(max_period_months=24)
+        # One contributing publication -> variance 0; cumulative % steps
+        # 0 -> 33.3 at month 3 -> 100 at month 12.
+        assert var[0] == (0.0, 0.0)
+        assert abs(var[3][0] - 100.0 / 3) < 1e-9
+        assert var[12] == (100.0, 0.0)
+        assert var[23] == (100.0, 0.0)
+
+    def test_quartiles_and_histogram(self):
+        analysis = LiteratureAnalysis(self._citation_collection())
+        # Aged >= 120 months relative to the newest date (2026-01): the
+        # base paper (132 months) and the 2015/2016 citers qualify.
+        quartiles = analysis.citation_quartiles(months_elapsed=120)
+        assert len(quartiles) == 4
+        top = quartiles.percentile(1.0)
+        assert top[0] == 4 and top[1].pmid == "base"
+        hist = dict(analysis.citation_distribution(months_elapsed=120))
+        assert hist[0] == 3  # c1, c2, c3 uncited
+        assert hist[4] == 1  # base with 4 citations
+        assert analysis.most_recent_publication().pmid == "late"

@@ -8,9 +8,11 @@ import numpy as np
 import pytest
 
 from kgl_gene_tpu.parallel.host_pipeline import (
+    MTStreamBuffer,
     QueueMonitor,
     QueueMtSafe,
     QueueTidal,
+    WorkflowAsync,
     WorkflowPipeline,
     WorkflowThreads,
 )
@@ -188,3 +190,77 @@ class TestUtility:
         assert rss > 0
         sys_t, user_t = process_time_usage()
         assert user_t >= 0
+
+
+class TestWorkflowAsync:
+    STOP = "<stop>"
+
+    def test_single_stage_processing(self):
+        results = []
+        lock = threading.Lock()
+
+        def work(item):
+            if item == self.STOP:
+                return
+            with lock:
+                results.append(item * 2)
+
+        wf = WorkflowAsync(self.STOP)
+        assert wf.activate_workflow(4, work)
+        assert not wf.activate_workflow(2, work)  # already active
+        for i in range(100):
+            wf.push(i)
+        wf.stop()
+        assert sorted(results) == [i * 2 for i in range(100)]
+
+    def test_ganged_three_stage_chain(self):
+        """Stop token cascades through ganged stages
+        (kel_workflow_async.h:33: the last thread forwards the token via
+        the workflow function)."""
+        sink = []
+        lock = threading.Lock()
+        stage3 = WorkflowAsync(self.STOP)
+        stage2 = WorkflowAsync(self.STOP)
+        stage1 = WorkflowAsync(self.STOP)
+
+        def final(item):
+            if item == self.STOP:
+                return
+            with lock:
+                sink.append(item)
+
+        def forward(nxt, item):
+            # Stage fn: transform and push downstream; the stop token
+            # arrives here from the last thread and cascades.
+            nxt.push(item if item == self.STOP else item + 1)
+
+        stage3.activate_workflow(2, final)
+        stage2.activate_workflow(3, forward, stage3)
+        stage1.activate_workflow(4, forward, stage2)
+        for i in range(50):
+            stage1.push(i)
+        stage1.stop()   # cascades: stage1 -> stage2 -> stage3
+        stage2.join()
+        stage3.join()
+        assert sorted(sink) == [i + 2 for i in range(50)]
+
+    def test_tidal_queue_backing(self):
+        done = []
+        wf = WorkflowAsync(-1, queue_obj=QueueTidal(high_tide=16, low_tide=4))
+        wf.activate_workflow(2, lambda item: item == -1 or done.append(item))
+        for i in range(64):
+            wf.push(i)
+        wf.stop()
+        assert len(done) == 64
+
+
+class TestMTStreamBuffer:
+    def test_reads_all_lines(self, tmp_path):
+        path = tmp_path / "lines.txt"
+        lines = [f"line-{i}\n" for i in range(5000)]
+        path.write_text("".join(lines))
+        buf = MTStreamBuffer(open(path))
+        got = list(buf)
+        assert got == lines
+        assert buf.read_line() is None  # post-EOF stays None
+        buf.close()
