@@ -79,11 +79,17 @@ class MutateGenes:
 
     def __init__(self, contig_ref: ContigReference,
                  filter_type: SeqVariantFilterType = SeqVariantFilterType.DEFAULT_SEQ_FILTER,
-                 info_store=None, use_device: bool = True):
+                 info_store=None, use_device: bool = True,
+                 k_bucket: Optional[int] = None, b_bucket: Optional[int] = None):
         self.contig_ref = contig_ref
         self.filter_type = filter_type
         self.info_store = info_store
         self.use_device = use_device
+        # Minimum capture-tensor buckets: pin these so repeated transcript
+        # batches share one compiled step (they grow to the next power of
+        # two if a batch exceeds them).
+        self.k_bucket = k_bucket
+        self.b_bucket = b_bucket
         self._step_cache: Dict[Tuple[str, int, int], object] = {}
 
     # ------------------------------------------------------------------ #
@@ -140,8 +146,16 @@ class MutateGenes:
         stats: MutateStats,
     ) -> List[TranscriptMutateRecord]:
         """One batched forward step for all SNP-only genomes."""
+        k_max = max((c.variant_count for c in captures), default=0)
+        k_bucket = self.k_bucket
+        if k_bucket is not None and k_max > k_bucket:
+            k_bucket = None  # grow to the next power of two
+        b_bucket = self.b_bucket
+        if b_bucket is not None and len(captures) > b_bucket:
+            b_bucket = None
         positions, alt_codes, valid = batch_capture_tensors(
-            captures, region_start=transcript.start
+            captures, region_start=transcript.start,
+            k_bucket=k_bucket, b_bucket=b_bucket,
         )
         step = self._forward_step(transcript)
         out = step(positions, alt_codes, valid)

@@ -4,11 +4,18 @@ One fused, jittable step covering the core KGL_Gene workload
 (SURVEY.md section 3.3 "the forward pass"): for a batch of sample genomes
 against one transcript region —
   1. apply each sample's SNPs to the replicated region (vmapped scatter),
-  2. splice exons via a precomputed gather index, strand-convert,
+  2. splice exons via static-length dynamic slices, strand-convert,
   3. translate to amino acids through the codon LUT,
   4. compute each mutant's edit distance to the reference coding sequence
-     (anti-diagonal wavefront DP),
+     (banded / anti-diagonal wavefront DP),
   5. reduce alt-allele counts over the batch.
+
+Exon splice is deliberately NOT a gather: exons are contiguous runs, so
+the splice is a concat of dynamic slices whose LENGTHS are static and
+whose starts are runtime scalars — XLA emits cheap contiguous copies, and
+transcripts sharing an exon-length signature (plus region/batch shapes)
+share ONE compiled executable (the geometry arrays are arguments, not
+closure constants).
 
 Multi-chip: the same step runs under shard_map with samples sharded over
 the mesh and the allele-count reduction merged by psum (see
@@ -28,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..sequence.alphabet import DNA5
 from ..sequence.tables import amino_translation_table
 from .edit_distance import _batched_levenshtein_impl
-from .variant_apply import apply_snp_batch, gather_splice, translate_batch
+from .variant_apply import apply_snp_batch, translate_batch
 
 __all__ = ["ForwardOutputs", "make_forward_step", "make_multichip_step"]
 
@@ -41,9 +48,23 @@ class ForwardOutputs(NamedTuple):
     valid_protein: jnp.ndarray    # (B,) bool: no internal stop & mod-3 start/stop
 
 
+def _splice_slices(
+    batch: jnp.ndarray,          # (B, L)
+    exon_starts: jnp.ndarray,    # (E,) int32 region-relative exon starts
+    exon_lens: Tuple[int, ...],  # static exon lengths
+) -> jnp.ndarray:
+    """Contiguous-exon splice: concat of static-length dynamic slices."""
+    parts = [
+        jax.lax.dynamic_slice_in_dim(batch, exon_starts[e], exon_lens[e], axis=1)
+        for e in range(len(exon_lens))
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
 def _forward(
     region: jnp.ndarray,         # (L,) reference region codes
-    splice_index: jnp.ndarray,   # (S,) gather index into region
+    exon_starts: jnp.ndarray,    # (E,) region-relative exon starts
+    exon_lens: Tuple[int, ...],  # static exon lengths (sum = S)
     reverse_strand: bool,
     positions: jnp.ndarray,      # (B, K) region-relative SNP positions
     alt_codes: jnp.ndarray,      # (B, K)
@@ -55,13 +76,13 @@ def _forward(
     use_pallas: bool = False,
 ) -> ForwardOutputs:
     mutated = apply_snp_batch(region, positions, alt_codes, valid)
-    coding = gather_splice(mutated, splice_index)
+    coding = _splice_slices(mutated, exon_starts, exon_lens)
     if reverse_strand:
         coding = complement_lut[coding[:, ::-1]]
     amino = translate_batch(coding, amino_lut)
 
     # Reference coding (no variants) for the distance baseline.
-    ref_coding = region[splice_index][None, :]
+    ref_coding = _splice_slices(region[None, :], exon_starts, exon_lens)
     if reverse_strand:
         ref_coding = complement_lut[ref_coding[:, ::-1]]
     B, S = coding.shape
@@ -120,6 +141,22 @@ def _forward(
                           allele_counts=allele_counts, valid_protein=valid_protein)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("exon_lens", "reverse_strand", "stop_code", "use_pallas"),
+)
+def _forward_jit(
+    region, exon_starts, positions, alt_codes, valid,
+    amino_lut, complement_lut, start_codes,
+    *, exon_lens, reverse_strand, stop_code, use_pallas,
+):
+    return _forward(
+        region, exon_starts, exon_lens, reverse_strand,
+        positions, alt_codes, valid, amino_lut, complement_lut,
+        stop_code, start_codes, use_pallas=use_pallas,
+    )
+
+
 def make_forward_step(
     region_codes: np.ndarray,
     exon_intervals: np.ndarray,
@@ -130,28 +167,32 @@ def make_forward_step(
 ):
     """Build a jitted forward step closed over the transcript geometry.
 
-    Returns (step_fn, static arrays dict). step_fn(positions, alt_codes,
-    valid) -> ForwardOutputs.
+    step_fn(positions, alt_codes, valid) -> ForwardOutputs. Transcripts
+    with the same (region length, exon-length signature, batch shapes)
+    share one compiled executable — the geometry is passed as arguments
+    to a module-level jit, not baked in as constants.
     """
-    from .variant_apply import build_splice_index
+    from ..sequence.alphabet import AminoAcid
 
     table = amino_translation_table(table_name)
-    splice_index = build_splice_index(exon_intervals, region_start)
+    exon_intervals = np.asarray(exon_intervals, dtype=np.int64)
+    exon_lens = tuple(int(hi - lo) for lo, hi in exon_intervals)
+    exon_starts = jnp.asarray(
+        exon_intervals[:, 0] - region_start, dtype=jnp.int32
+    )
     region = jnp.asarray(region_codes, dtype=jnp.uint8)
-    splice = jnp.asarray(splice_index, dtype=jnp.int32)
     amino_lut = jnp.asarray(table.amino_lut, dtype=jnp.uint8)
     complement_lut = jnp.asarray(DNA5.COMPLEMENT, dtype=jnp.uint8)
     start_codes = jnp.asarray(
         np.unique(table.amino_lut[table.start_lut]), dtype=jnp.uint8
     )
-    from ..sequence.alphabet import AminoAcid
 
-    @jax.jit
     def step(positions, alt_codes, valid):
-        return _forward(
-            region, splice, reverse_strand, positions, alt_codes, valid,
-            amino_lut, complement_lut, AminoAcid.STOP, start_codes,
-            use_pallas=use_pallas,
+        return _forward_jit(
+            region, exon_starts, positions, alt_codes, valid,
+            amino_lut, complement_lut, start_codes,
+            exon_lens=exon_lens, reverse_strand=reverse_strand,
+            stop_code=AminoAcid.STOP, use_pallas=use_pallas,
         )
 
     return step
@@ -175,12 +216,15 @@ def make_multichip_step(
     from jax import shard_map
 
     from ..sequence.alphabet import AminoAcid
-    from .variant_apply import build_splice_index
 
     axis = mesh.axis_names[0]
     table = amino_translation_table(table_name)
     region = jnp.asarray(region_codes, dtype=jnp.uint8)
-    splice = jnp.asarray(build_splice_index(exon_intervals, region_start), dtype=jnp.int32)
+    exon_intervals = np.asarray(exon_intervals, dtype=np.int64)
+    exon_lens = tuple(int(hi - lo) for lo, hi in exon_intervals)
+    exon_starts = jnp.asarray(
+        exon_intervals[:, 0] - region_start, dtype=jnp.int32
+    )
     amino_lut = jnp.asarray(table.amino_lut, dtype=jnp.uint8)
     complement_lut = jnp.asarray(DNA5.COMPLEMENT, dtype=jnp.uint8)
     start_codes = jnp.asarray(
@@ -196,7 +240,8 @@ def make_multichip_step(
     )
     def step(positions, alt_codes, valid, zygosity):
         out = _forward(
-            region, splice, reverse_strand, positions, alt_codes, valid,
+            region, exon_starts, exon_lens, reverse_strand,
+            positions, alt_codes, valid,
             amino_lut, complement_lut, AminoAcid.STOP, start_codes,
         )
         # Merge per-shard allele counts and zygosity AC over the mesh.

@@ -37,13 +37,20 @@ alt_codes = rng.integers(0, 4, size=(BATCH, SNPS)).astype(np.uint8)
 valid = rng.random((BATCH, SNPS)) < 0.8
 
 
+def _fetch(out):
+    """Force execution: under the axon tunnel block_until_ready does not
+    flush deferred remote executions — a device->host transfer does."""
+    leaves = jax.tree_util.tree_leaves(out)
+    return np.asarray(leaves[0]).ravel()[:1]
+
+
 def timeit(name, fn, *args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)  # fetch inside the window so the chain must complete
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:42s} {dt*1e3:8.3f} ms")
     return dt
