@@ -1,21 +1,32 @@
-"""Benchmark: flagship population x transcript forward step on one chip.
+"""Benchmark: flagship population x transcript pipeline on one chip.
 
-Workload (BASELINE.json config[0/1] class): a Pf-gene-scale transcript
-(3,000 coding bases from a 4,800 bp region, two exons) mutated across a
-batch of sample genomes — per-sample SNP apply, exon splice, translation,
-exact edit distance of every mutant coding sequence vs the reference
-(anti-diagonal wavefront DP), and allele-count reduction.
+Three measurements (BASELINE.md:25-26 metrics), ONE JSON line:
 
-Prints ONE JSON line: sample-genomes/s/chip plus the alignment GCUPS.
-vs_baseline compares against a 100-thread edlib CPU workstation estimate
-for the same per-sample work (the reference's target platform,
-README.md:24-27): edlib NW ~1.0 GCUPS/core scalar but the full reference
-pipeline measured ~0.05 genomes/s/thread at this gene scale -> ~5
-genomes/s at 100 threads (no published numbers exist; BASELINE.md).
+1. `value` (primary): sample-genomes/s/chip for the fused forward step —
+   a Pf-gene-scale transcript (3,000 coding bases from a 4,800 bp region,
+   two exons) mutated across a 256-genome batch: per-sample SNP apply,
+   exon splice, translation, exact edit distance of every mutant coding
+   sequence vs the reference, allele-count reduction.
+2. `allpairs_gcups`: all-pairs Levenshtein over the 256 mutant coding
+   sequences (32,640 pairs, the UPGMA workload of
+   kgl_classification/kgl_distance_tree_upgma.cpp:53-69) through the
+   edlib-style band-doubling kernel — effective GCUPS (full-matrix cell
+   equivalents per second; distances are exact).
+3. `e2e_genomes_per_s`: VCF -> native ingest -> VariantArena -> transcript
+   capture -> device forward step, end to end on a generated population
+   (256 samples x 4 genes, synthetic chromosome VCF) — the framework's
+   real product path (analysis/lib_seqmutation.py), not a kernel number.
+
+vs_baseline compares the primary metric against a 100-thread edlib CPU
+workstation estimate for the same per-sample work (the reference's target
+platform, README.md:24-27): the full reference pipeline measured ~0.05
+genomes/s/thread at this gene scale -> ~5 genomes/s at 100 threads (no
+published numbers exist; BASELINE.md — an estimate, labelled as such).
 """
 
 import json
 import os
+import tempfile
 import time
 
 import numpy as np
@@ -26,19 +37,11 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def bench_forward_step(jax, rng):
     from kgl_gene_tpu.ops.pipeline import make_forward_step
 
-    rng = np.random.default_rng(0)
-
     REGION = 4800
-    EXONS = np.array([[400, 1900], [2400, 3900]], dtype=np.int64)  # 3000 coding bases
+    EXONS = np.array([[400, 1900], [2400, 3900]], dtype=np.int64)  # 3000 coding
     COD = int((EXONS[:, 1] - EXONS[:, 0]).sum())
     BATCH = 256
     SNPS = 48
@@ -51,30 +54,119 @@ def main():
     alt_codes = rng.integers(0, 4, size=(BATCH, SNPS)).astype(np.uint8)
     valid = rng.random((BATCH, SNPS)) < 0.8
 
-    # Warm up / compile.
-    out = step(positions, alt_codes, valid)
-    jax.block_until_ready(out)
+    out = step(positions, alt_codes, valid)  # warm up / compile
+    np.asarray(out.distance)  # device->host fetch forces execution
 
-    iters = 10
+    # Timing note (axon tunnel): block_until_ready does NOT force deferred
+    # remote executions — only a device->host transfer does. Chain each
+    # iteration on the previous step's output and fetch INSIDE the timed
+    # window so all `iters` executions are provably in the dependency cone
+    # of the final transfer. Inputs are device-resident so the loop
+    # measures compute, not host->device uploads.
+    import jax.numpy as jnp
+
+    d_pos = jax.device_put(positions)
+    d_alt = jax.device_put(alt_codes)
+    d_val = jax.device_put(valid)
+
+    def chained(iters):
+        chain = jnp.zeros((1,), jnp.int32)
+        for _ in range(iters):
+            out = step(jnp.add(d_pos, chain), d_alt, d_val)
+            chain = out.distance[:1] * 0
+        return np.asarray(out.distance)
+
+    chained(2)  # warm the chain ops (jnp.add / slice) too
+    iters = 20
     start = time.perf_counter()
-    for _ in range(iters):
-        out = step(positions, alt_codes, valid)
-    jax.block_until_ready(out)
+    chained(iters)
     elapsed = (time.perf_counter() - start) / iters
 
-    genomes_per_s = BATCH / elapsed
-    # DP cells per forward: B x COD x COD (mutant vs reference coding).
-    gcups = BATCH * COD * COD / elapsed / 1e9
+    mutants = np.asarray(out.mutated_coding, dtype=np.uint8)
+    return BATCH / elapsed, BATCH * COD * COD / elapsed / 1e9, COD, BATCH, mutants
 
-    cpu_baseline_genomes_per_s = 5.0  # 100-thread edlib-class estimate (see docstring)
+
+def bench_allpairs(jax, mutants):
+    """All-pairs exact Levenshtein over the mutant family (banded)."""
+    from kgl_gene_tpu.ops.edit_distance import pairwise_distance_matrix
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu:
+        mutants = mutants[:16]  # CPU smoke run only; the chip is the target
+    n, S = mutants.shape
+    lens = np.full(n, S, dtype=np.int32)
+    # Mutants differ from the reference by <= 48 SNPs each, so pairwise
+    # distances are <= 96 < 127: one banded pass, provably exact.
+    band_k = 127 if on_tpu else None
+    pairwise_distance_matrix(mutants, lens, band_k=band_k)  # warm/compile
+    start = time.perf_counter()
+    matrix = pairwise_distance_matrix(mutants, lens, band_k=band_k)
+    elapsed = time.perf_counter() - start
+    n_pairs = n * (n - 1) // 2
+    assert matrix.shape == (n, n) and matrix.max() <= 127
+    return n_pairs * S * S / elapsed / 1e9, n_pairs / elapsed
+
+
+def bench_end_to_end(jax, tmp):
+    """VCF -> ingest -> capture -> device step, the product path."""
+    from kgl_gene_tpu.analysis.lib_seqmutation import MutateGenes
+    from kgl_gene_tpu.genome.genome import GenomeReference
+    from kgl_gene_tpu.io.synthetic import generate_population_files
+    from kgl_gene_tpu.io.vcf import parse_vcf_population
+
+    paths = generate_population_files(
+        tmp, n_samples=256, contig_len=120_000, n_genes=4,
+        n_records=3_000, coding_len=3_000,
+    )
+    genome = GenomeReference.create_genome_database(
+        "synthetic", paths.fasta, paths.gff3
+    )
+    contig = genome.get_contig(paths.contig_id)
+
+    def one_pass():
+        t0 = time.perf_counter()
+        pop, _header, info = parse_vcf_population(paths.vcf, "pop", "PF_DIPLOID")
+        mutator = MutateGenes(contig, info_store=info, k_bucket=32, b_bucket=256)
+        n_records = 0
+        for g in range(paths.n_genes):
+            tx = contig.get_transcription(paths.gene_id(g), paths.transcript_id(g))
+            records, _stats = mutator.mutate_transcript(pop, tx)
+            n_records += len(records)
+        # The device path materialises outputs as numpy inside
+        # mutate_transcript, so the clock includes device work.
+        return n_records, time.perf_counter() - t0
+
+    one_pass()  # warm: compiles the shared-geometry step once
+    n_records, elapsed = one_pass()
+    assert n_records == paths.n_genes * paths.n_samples
+    return n_records / elapsed
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rng = np.random.default_rng(0)
+    genomes_per_s, gcups, cod, batch, mutants = bench_forward_step(jax, rng)
+    allpairs_gcups, pairs_per_s = bench_allpairs(jax, mutants)
+    with tempfile.TemporaryDirectory() as tmp:
+        e2e_genomes_per_s = bench_end_to_end(jax, tmp)
+
+    cpu_baseline_genomes_per_s = 5.0  # 100-thread edlib-class estimate (docstring)
     result = {
         "metric": "sample-genomes/s/chip (variant apply + alignment)",
         "value": round(genomes_per_s, 3),
         "unit": "genomes/s",
         "vs_baseline": round(genomes_per_s / cpu_baseline_genomes_per_s, 3),
         "alignment_gcups": round(gcups, 3),
-        "batch": BATCH,
-        "coding_bases": COD,
+        "allpairs_gcups": round(allpairs_gcups, 3),
+        "allpairs_pairs_per_s": round(pairs_per_s, 1),
+        "e2e_genomes_per_s": round(e2e_genomes_per_s, 3),
+        "batch": batch,
+        "coding_bases": cod,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

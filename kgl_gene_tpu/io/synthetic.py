@@ -1,0 +1,128 @@
+"""Synthetic population workload generator (FASTA + GFF3 + VCF on disk).
+
+The reference validates its statistics path with generated diploid
+populations (kga_analytic/kga_inbreed/kga_analysis_inbreed_synthetic.h:56,
+kga_analysis_inbreed_syngen.h); this module is the framework-level
+equivalent: a deterministic chromosome-scale dataset written through the
+real file formats so ingest, capture and the device pipeline can be
+benchmarked end-to-end without shipping reference data.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["SyntheticPaths", "generate_population_files"]
+
+_BASES = "ACGT"
+
+
+@dataclass
+class SyntheticPaths:
+    fasta: str
+    gff3: str
+    vcf: str
+    contig_id: str
+    contig_len: int
+    n_genes: int
+    n_samples: int
+    n_records: int
+
+    def gene_id(self, g: int) -> str:
+        return f"G{g}"
+
+    def transcript_id(self, g: int) -> str:
+        return f"G{g}.1"
+
+
+def generate_population_files(
+    out_dir: str,
+    n_samples: int = 100,
+    contig_len: int = 500_000,
+    n_genes: int = 50,
+    n_records: int = 5_000,
+    coding_len: int = 3_000,
+    contig_id: str = "Pf_chr1",
+    seed: int = 0,
+    snp_only: bool = True,
+) -> SyntheticPaths:
+    """Write a deterministic FASTA/GFF3/VCF triple under out_dir.
+
+    Genes are evenly spaced single-exon CDS of coding_len bases on the
+    forward strand (mod-3 so translation verifies). Variant records are
+    SNPs with beta-distributed allele frequencies and per-sample
+    GT:AD:DP genotypes (hom 1/1 and het 0/1 carriers), matching the Pf
+    diploid parser's expectations.
+    """
+    if coding_len % 3:
+        raise ValueError("coding_len must be a codon multiple")
+    rng = np.random.default_rng(seed)
+    contig = rng.integers(0, 4, contig_len)
+    contig_str = "".join(_BASES[b] for b in contig)
+
+    fasta = os.path.join(out_dir, "synthetic.fasta")
+    with open(fasta, "w") as f:
+        f.write(f">{contig_id}\n")
+        for i in range(0, contig_len, 80):
+            f.write(contig_str[i : i + 80] + "\n")
+
+    gff3 = os.path.join(out_dir, "synthetic.gff3")
+    gene_span = contig_len // n_genes
+    with open(gff3, "w") as f:
+        f.write("##gff-version 3\n")
+        for g in range(n_genes):
+            start = g * gene_span + 1000
+            end = start + coding_len - 1
+            f.write(f"{contig_id}\tsyn\tgene\t{start}\t{end}\t.\t+\t.\tID=G{g}\n")
+            f.write(
+                f"{contig_id}\tsyn\tmRNA\t{start}\t{end}\t.\t+\t.\t"
+                f"ID=G{g}.1;Parent=G{g}\n"
+            )
+            f.write(
+                f"{contig_id}\tsyn\tCDS\t{start}\t{end}\t.\t+\t0\t"
+                f"ID=G{g}.1.c;Parent=G{g}.1\n"
+            )
+
+    vcf = os.path.join(out_dir, "synthetic.vcf")
+    samples = [f"S{i:04d}" for i in range(n_samples)]
+    positions = np.sort(rng.choice(contig_len - 10, n_records, replace=False))
+    with open(vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={contig_id},length={contig_len}>\n")
+        f.write('##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n')
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">\n')
+        f.write('##FORMAT=<ID=AD,Number=R,Type=Integer,Description="ad">\n')
+        f.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="dp">\n')
+        f.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + "\t".join(samples)
+            + "\n"
+        )
+        af_values = rng.beta(0.5, 3.0, n_records)
+        for r, pos in enumerate(positions):
+            ref = _BASES[contig[pos]]
+            alt = _BASES[(contig[pos] + 1 + rng.integers(0, 3)) % 4]
+            af = af_values[r]
+            carriers = rng.random(n_samples) < af
+            hom = rng.random(n_samples) < af
+            gts = []
+            for s in range(n_samples):
+                if carriers[s]:
+                    gt = "1/1" if hom[s] else "0/1"
+                    ad = f"{rng.integers(0, 20)},{rng.integers(5, 40)}"
+                else:
+                    gt = "0/0"
+                    ad = f"{rng.integers(20, 40)},0"
+                gts.append(f"{gt}:{ad}:{rng.integers(20, 60)}")
+            f.write(
+                f"{contig_id}\t{pos + 1}\trs{r}\t{ref}\t{alt}\t99\tPASS\t"
+                f"AF={af:.4f}\tGT:AD:DP\t" + "\t".join(gts) + "\n"
+            )
+    return SyntheticPaths(
+        fasta=fasta, gff3=gff3, vcf=vcf, contig_id=contig_id,
+        contig_len=contig_len, n_genes=n_genes, n_samples=n_samples,
+        n_records=n_records,
+    )

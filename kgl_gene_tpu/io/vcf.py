@@ -1233,7 +1233,12 @@ def parse_vcf_population(
     columns snapshot to disk; an interrupted ingest re-invoked with the
     same checkpoint_path resumes after the last snapshot (prefix verified
     by rolling fingerprint) and produces the identical population. Forces
-    the streaming path."""
+    the streaming path.
+
+    KGT_DISABLE_NATIVE_INGEST=1 (env) turns auto into the streaming path —
+    the operational probe for native/streaming output parity."""
+    if use_native is None and os.environ.get("KGT_DISABLE_NATIVE_INGEST"):
+        use_native = False
     if checkpoint_path is None and use_native is not False:
         native = _native_parse_population(
             path, population_id, parser_type, subscribed_info, contig_alias,

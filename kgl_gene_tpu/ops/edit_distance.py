@@ -171,6 +171,7 @@ def pairwise_distance_matrix(
     seqs: np.ndarray,
     lens: np.ndarray,
     batch_pairs: int = 2048,
+    band_k: Optional[int] = None,
 ) -> np.ndarray:
     """All-pairs Levenshtein matrix for n padded sequences (n, M).
 
@@ -178,18 +179,76 @@ def pairwise_distance_matrix(
     (kgl_classification/kgl_distance_tree_upgma.cpp:53-69); here the upper
     triangle is flattened into pair batches for the wavefront kernel.
     Returns a dense symmetric (n, n) float64 matrix.
+
+    band_k routes pair batches through the edlib-style band-doubling path
+    (pallas_banded.adaptive_banded_levenshtein) starting at that band —
+    still exact (overflowing pairs re-run wider / on the full kernel), and
+    the right choice for transcript families whose members differ by a
+    bounded number of edits. The final chunk is padded up to batch_pairs
+    so every kernel launch reuses one compiled shape.
     """
     seqs = np.asarray(seqs)
     lens = np.asarray(lens, dtype=np.int32)
     n = seqs.shape[0]
     iu, ju = np.triu_indices(n, k=1)
     out = np.zeros((n, n), dtype=np.float64)
-    for start in range(0, len(iu), batch_pairs):
+    n_pairs = len(iu)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if band_k is not None and on_tpu:
+        # Device-resident pool: upload the n sequences ONCE; per chunk only
+        # pair indices go up and distances come back. Pairs that overflow
+        # the band re-run through the host adaptive path (exactness).
+        from .pallas_banded import banded_pairs_device
+
+        seqs_dev = jax.device_put(jnp.asarray(seqs, jnp.int32))
+        lens_dev = jax.device_put(jnp.asarray(lens, jnp.int32))
+        dist = np.zeros(n_pairs, dtype=np.int32)
+        for start in range(0, n_pairs, batch_pairs):
+            bi = iu[start : start + batch_pairs]
+            bj = ju[start : start + batch_pairs]
+            take = len(bi)
+            if take < batch_pairs and n_pairs > batch_pairs:
+                bi = np.concatenate([bi, np.full(batch_pairs - take, iu[0])])
+                bj = np.concatenate([bj, np.full(batch_pairs - take, ju[0])])
+            d = banded_pairs_device(seqs_dev, lens_dev, bi, bj, band_k=band_k)
+            dist[start : start + take] = d[:take]
+        ok = (dist <= band_k) & (
+            np.abs(lens[iu] - lens[ju]) <= band_k
+        )
+        pending = np.nonzero(~ok)[0]
+        if pending.size:
+            from .pallas_banded import adaptive_banded_levenshtein
+
+            bi, bj = iu[pending], ju[pending]
+            dist[pending] = adaptive_banded_levenshtein(
+                seqs[bi], lens[bi], seqs[bj], lens[bj],
+                start_k=min(2 * band_k + 1, 127),
+            )
+        out[iu, ju] = dist
+        out[ju, iu] = dist
+        return out
+
+    for start in range(0, n_pairs, batch_pairs):
         bi = iu[start : start + batch_pairs]
         bj = ju[start : start + batch_pairs]
-        d = np.asarray(
-            batched_levenshtein(seqs[bi], lens[bi], seqs[bj], lens[bj])
-        )
+        take = len(bi)
+        if band_k is not None and take < batch_pairs and n_pairs > batch_pairs:
+            # Pad the ragged tail with repeats of pair 0 (discarded below).
+            pad = batch_pairs - take
+            bi = np.concatenate([bi, np.full(pad, iu[0])])
+            bj = np.concatenate([bj, np.full(pad, ju[0])])
+        if band_k is not None:
+            from .pallas_banded import adaptive_banded_levenshtein
+
+            d = adaptive_banded_levenshtein(
+                seqs[bi], lens[bi], seqs[bj], lens[bj], start_k=band_k
+            )
+        else:
+            d = np.asarray(
+                batched_levenshtein(seqs[bi], lens[bi], seqs[bj], lens[bj])
+            )
+        bi, bj, d = bi[:take], bj[:take], d[:take]
         out[bi, bj] = d
         out[bj, bi] = d
     return out

@@ -35,7 +35,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["banded_levenshtein", "adaptive_banded_levenshtein"]
+__all__ = [
+    "banded_levenshtein",
+    "adaptive_banded_levenshtein",
+    "banded_pairs_device",
+]
 
 BLOCK_B = 32  # pairs per block (amortises per-row loop overhead)
 B_LEAD = 128  # host-side leading sentinel pad on b (aligns group slices)
@@ -199,6 +203,50 @@ def banded_levenshtein(
         max_len=M, band_k=band_k, interpret=interpret,
     )
     return np.asarray(out)[:B, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_k", "block_b", "interpret")
+)
+def _banded_pairs_gather(seqs, lens, iu, ju, *, band_k: int,
+                         block_b: int = BLOCK_B, interpret: bool = False):
+    """Device-resident pair batch: gather (iu, ju) rows of the sequence
+    pool ON DEVICE and run the banded kernel — the all-pairs driver that
+    keeps the O(n^2) pair traffic off the host link (the reference's UPGMA
+    matrix loop, kgl_classification/kgl_distance_tree_upgma.cpp:53-69,
+    re-shaped so only pair INDICES cross the host boundary)."""
+    n, S = seqs.shape
+    band_w = ((2 * band_k + 1 + 127) // 128) * 128
+    win_w = band_w + 256
+    Wa = ((S + 127) // 128) * 128
+    P = iu.shape[0]
+    Bp = ((P + block_b - 1) // block_b) * block_b
+    a = seqs[iu].astype(jnp.int32)
+    b = seqs[ju].astype(jnp.int32)
+    a_p = jnp.zeros((Bp, Wa), jnp.int32).at[:P, :S].set(a)
+    b_buf = jnp.full((Bp, B_LEAD + Wa + win_w), -1, jnp.int32).at[
+        :P, B_LEAD : B_LEAD + S
+    ].set(b)
+    la = jnp.zeros((Bp, 128), jnp.int32).at[:P, :].set(lens[iu][:, None])
+    lb = jnp.zeros((Bp, 128), jnp.int32).at[:P, :].set(lens[ju][:, None])
+    return _banded_call(
+        a_p, b_buf, la, lb, max_len=S, band_k=band_k, block_b=block_b,
+        interpret=interpret,
+    )[:P, 0]
+
+
+def banded_pairs_device(seqs_dev, lens_dev, iu: np.ndarray, ju: np.ndarray,
+                        band_k: int = 63, block_b: int = BLOCK_B,
+                        interpret: bool | None = None) -> np.ndarray:
+    """Banded distances for an index-pair batch over a device-resident
+    sequence pool. Exact iff result <= band_k and |la - lb| <= band_k."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    out = _banded_pairs_gather(
+        seqs_dev, lens_dev, jnp.asarray(iu, jnp.int32), jnp.asarray(ju, jnp.int32),
+        band_k=band_k, block_b=block_b, interpret=interpret,
+    )
+    return np.asarray(out)
 
 
 def adaptive_banded_levenshtein(

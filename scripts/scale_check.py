@@ -15,57 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def generate(tmp, n_samples=100, contig_len=500_000, n_genes=50, n_records=5000):
-    rng = np.random.default_rng(0)
-    bases = "ACGT"
-    contig = rng.integers(0, 4, contig_len)
-    contig_str = "".join(bases[b] for b in contig)
-    fasta = os.path.join(tmp, "chr.fasta")
-    with open(fasta, "w") as f:
-        f.write(">Pf_chr1\n")
-        for i in range(0, contig_len, 80):
-            f.write(contig_str[i : i + 80] + "\n")
-    gff = os.path.join(tmp, "chr.gff3")
-    gene_span = contig_len // n_genes
-    with open(gff, "w") as f:
-        f.write("##gff-version 3\n")
-        for g in range(n_genes):
-            start = g * gene_span + 1000
-            end = start + 2999  # 3kb single-exon CDS
-            f.write(f"Pf_chr1\tsyn\tgene\t{start}\t{end}\t.\t+\t.\tID=G{g}\n")
-            f.write(f"Pf_chr1\tsyn\tmRNA\t{start}\t{end}\t.\t+\t.\tID=G{g}.1;Parent=G{g}\n")
-            f.write(f"Pf_chr1\tsyn\tCDS\t{start}\t{end}\t.\t+\t0\tID=G{g}.1.c;Parent=G{g}.1\n")
-    # VCF: n_records positions, mostly SNPs, per-sample genotypes.
-    vcf = os.path.join(tmp, "pop.vcf")
-    samples = [f"S{i:03d}" for i in range(n_samples)]
-    positions = np.sort(rng.choice(contig_len - 10, n_records, replace=False))
-    with open(vcf, "w") as f:
-        f.write("##fileformat=VCFv4.2\n")
-        f.write(f"##contig=<ID=Pf_chr1,length={contig_len}>\n")
-        f.write('##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n')
-        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">\n')
-        f.write('##FORMAT=<ID=AD,Number=R,Type=Integer,Description="ad">\n')
-        f.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="dp">\n')
-        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
-                + "\t".join(samples) + "\n")
-        af_values = rng.beta(0.5, 3.0, n_records)
-        for r, pos in enumerate(positions):
-            ref = bases[contig[pos]]
-            alt = bases[(contig[pos] + 1 + rng.integers(0, 3)) % 4]
-            af = af_values[r]
-            gts = []
-            carriers = rng.random(n_samples) < af
-            hom = rng.random(n_samples) < af
-            for s in range(n_samples):
-                if carriers[s]:
-                    gt = "1/1" if hom[s] else "0/1"
-                    ad = f"{rng.integers(0, 20)},{rng.integers(5, 40)}"
-                else:
-                    gt = "0/0"
-                    ad = f"{rng.integers(20, 40)},0"
-                gts.append(f"{gt}:{ad}:{rng.integers(20, 60)}")
-            f.write(f"Pf_chr1\t{pos + 1}\trs{r}\t{ref}\t{alt}\t99\tPASS\t"
-                    f"AF={af:.4f}\tGT:AD:DP\t" + "\t".join(gts) + "\n")
-    return fasta, gff, vcf
+    from kgl_gene_tpu.io.synthetic import generate_population_files
+
+    paths = generate_population_files(
+        tmp, n_samples=n_samples, contig_len=contig_len, n_genes=n_genes,
+        n_records=n_records,
+    )
+    return paths.fasta, paths.gff3, paths.vcf
 
 
 def main():

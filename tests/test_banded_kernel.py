@@ -58,3 +58,26 @@ class TestBandedLevenshtein:
         lb = np.array([3, 0], dtype=np.int32)
         got = banded_levenshtein(sa, la, sa, lb, band_k=63)
         np.testing.assert_array_equal(got, [3, 4])
+
+
+def test_banded_pairs_device_matches_oracle():
+    """Device-resident pair-gather driver equals the oracle (interpret)."""
+    import jax.numpy as jnp
+
+    from kgl_gene_tpu.ops.edit_distance import levenshtein_numpy
+    from kgl_gene_tpu.ops.pallas_banded import banded_pairs_device
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 4, 640).astype(np.int32)
+    n = 5
+    seqs = np.tile(base, (n, 1))
+    for i in range(1, n):
+        idx = rng.choice(640, 9, replace=False)
+        seqs[i, idx] = (seqs[i, idx] + 1 + rng.integers(0, 3, 9)) % 4
+    lens = np.full(n, 640, np.int32)
+    iu, ju = np.triu_indices(n, k=1)
+    d = banded_pairs_device(
+        jnp.asarray(seqs), jnp.asarray(lens), iu, ju, band_k=63, interpret=True
+    )
+    want = [levenshtein_numpy(seqs[i], seqs[j]) for i, j in zip(iu, ju)]
+    assert d.tolist() == want
