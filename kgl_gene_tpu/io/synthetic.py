@@ -61,6 +61,25 @@ def generate_population_files(
         raise ValueError("coding_len must be a codon multiple")
     rng = np.random.default_rng(seed)
     contig = rng.integers(0, 4, contig_len)
+
+    # Overwrite each gene span with a VALID coding sequence (ATG start,
+    # no internal stop, terminal stop) so protein-validity checks are
+    # meaningful: reference transcripts verify, and only nonsense SNPs
+    # invalidate a mutant (the reference's verify semantics,
+    # kgl_genome/kgl_genome_verify.cpp).
+    stops = {(3, 0, 0), (3, 0, 2), (3, 2, 0)}  # TAA TAG TGA (ACGT=0123)
+    n_mid = coding_len // 3 - 2
+    gene_span = contig_len // n_genes
+    for g in range(n_genes):
+        start0 = g * gene_span + 999  # 0-based CDS start (GFF is 1-based)
+        codons = rng.integers(0, 4, (n_mid, 3))
+        bad = np.array([tuple(c) in stops for c in codons])
+        while bad.any():
+            codons[bad] = rng.integers(0, 4, (int(bad.sum()), 3))
+            bad = np.array([tuple(c) in stops for c in codons])
+        cds = np.concatenate([[0, 3, 2], codons.ravel(), [3, 0, 0]])  # ATG..TAA
+        contig[start0 : start0 + coding_len] = cds
+
     contig_str = "".join(_BASES[b] for b in contig)
 
     fasta = os.path.join(out_dir, "synthetic.fasta")
