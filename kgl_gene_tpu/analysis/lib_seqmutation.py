@@ -296,7 +296,14 @@ class TranscriptFamilyAnalysis:
         if len(sequences) < 2:
             return f"({labels[0] if labels else 'reference'}:0);"
         seqs, lens = self._padded_codes(sequences)
-        matrix = pairwise_distance_matrix(seqs, lens)
+        # On the chip, route through the device-resident banded pair pool
+        # (ops/edit_distance band_k path): transcript-family members differ
+        # by bounded edit counts, and pairs that overflow the band re-run
+        # through the exact adaptive path, so this is a pure routing choice.
+        import jax
+
+        band_k = 127 if jax.default_backend() in ("tpu", "axon") else None
+        matrix = pairwise_distance_matrix(seqs, lens, band_k=band_k)
         tree = upgma_tree(matrix, labels)
         return newick(tree)
 

@@ -203,6 +203,9 @@ def pairwise_distance_matrix(
 
         seqs_dev = jax.device_put(jnp.asarray(seqs, jnp.int32))
         lens_dev = jax.device_put(jnp.asarray(lens, jnp.int32))
+        # Static uniform-length promise lets the kernel skip per-row
+        # capture work (every pair captures at the final wavefront row).
+        uniform = bool(np.all(lens == seqs.shape[1]))
         dist = np.zeros(n_pairs, dtype=np.int32)
         for start in range(0, n_pairs, batch_pairs):
             bi = iu[start : start + batch_pairs]
@@ -211,7 +214,9 @@ def pairwise_distance_matrix(
             if take < batch_pairs and n_pairs > batch_pairs:
                 bi = np.concatenate([bi, np.full(batch_pairs - take, iu[0])])
                 bj = np.concatenate([bj, np.full(batch_pairs - take, ju[0])])
-            d = banded_pairs_device(seqs_dev, lens_dev, bi, bj, band_k=band_k)
+            d = banded_pairs_device(
+                seqs_dev, lens_dev, bi, bj, band_k=band_k, uniform_cap=uniform
+            )
             dist[start : start + take] = d[:take]
         ok = (dist <= band_k) & (
             np.abs(lens[iu] - lens[ju]) <= band_k

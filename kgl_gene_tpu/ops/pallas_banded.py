@@ -59,12 +59,19 @@ def _prefix_min_chain(base: jnp.ndarray, width: int) -> jnp.ndarray:
 
 
 def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
-                   max_len: int, band_k: int, band_w: int, win_w: int,
-                   unroll: int = 128, block_b: int = BLOCK_B):
+                   cap_ref, max_len: int, band_k: int, band_w: int,
+                   win_w: int, unroll: int = 128, block_b: int = BLOCK_B,
+                   uniform_cap: bool = False):
     """One block of BLOCK_B pairs.
 
     prev_ref: (B, band_w) band wavefront (band_w = 2k+1 padded to 128s).
     b_ref: (B, B_LEAD + Wa + win_w) with b starting at lane B_LEAD.
+    cap_ref: (B, band_w) capture accumulator — rows contribute
+    ELEMENTWISE (no per-row cross-lane reduction); one reduction at the
+    end folds it to the (B,) result.
+    uniform_cap: static promise that la == lb == max_len for every pair
+    (the fused mutant-vs-reference path) — capture then reads the final
+    wavefront row directly and the per-row capture work disappears.
     """
     M = max_len
     K = band_k
@@ -79,8 +86,8 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
     # Row 0: D[0, j] = j for j >= 0 within the band, +inf outside.
     j0 = c_idx - K
     prev_ref[:] = jnp.where((j0 >= 0) & (j0 <= K), jnp.maximum(j0, 0), BIG)
-
-    out_ref[:] = jnp.where(la == 0, lb, 0) + jnp.zeros((block_b, 128), jnp.int32)
+    if not uniform_cap:
+        cap_ref[:] = jnp.zeros((block_b, Wp), jnp.int32)
 
     def row_step(i, a_col, bwin):
         """One DP row; a_col (B, 1) = a[i-1]; bwin (B, Wg) has
@@ -99,13 +106,11 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
         cur = jnp.where(invalid, BIG, cur)
         prev_ref[:] = cur
 
-        # capture D[la, lb] at row i == la, band cell c = lb - la + K
-        hit = (la == i)
-        cap_c = lb - la + K
-        captured = jnp.sum(
-            jnp.where((c_idx == cap_c) & hit, cur, 0), axis=1, keepdims=True
-        )
-        out_ref[:] = out_ref[:] + captured + jnp.zeros((block_b, 128), jnp.int32)
+        if not uniform_cap:
+            # capture D[la, lb] at row i == la, band cell c = lb - la + K:
+            # elementwise accumulate; reduced across lanes ONCE at the end.
+            hit = (la == i) & (c_idx == lb - la + K)
+            cap_ref[:] = cap_ref[:] + jnp.where(hit, cur, 0)
 
     Wa = a_ref.shape[1]
     n_groups = Wa // 128
@@ -134,10 +139,28 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
 
     jax.lax.fori_loop(0, n_groups, group_body, 0)
 
+    if uniform_cap:
+        # la == lb == M: the final wavefront row IS row la; D[la, lb] sits
+        # at band cell c = K.
+        captured = jnp.sum(
+            jnp.where(c_idx == K, prev_ref[:], 0), axis=1, keepdims=True
+        )
+    else:
+        # Degenerate la == 0 pairs never hit a row capture (rows are
+        # 1-based): D[0, lb] = lb directly.
+        captured = jnp.where(
+            la == 0, lb, jnp.sum(cap_ref[:], axis=1, keepdims=True)
+        )
+    out_ref[:] = captured + jnp.zeros((block_b, 128), jnp.int32)
 
-@functools.partial(jax.jit, static_argnames=("max_len", "band_k", "interpret", "block_b"))
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_len", "band_k", "interpret", "block_b", "uniform_cap"),
+)
 def _banded_call(seq_a, seq_b_buf, len_a_col, len_b_col, max_len: int,
-                 band_k: int, interpret: bool = False, block_b: int = BLOCK_B):
+                 band_k: int, interpret: bool = False, block_b: int = BLOCK_B,
+                 uniform_cap: bool = False):
     B, Wa = seq_a.shape
     band_w = ((2 * band_k + 1 + 127) // 128) * 128
     win_w = band_w + 256
@@ -146,6 +169,7 @@ def _banded_call(seq_a, seq_b_buf, len_a_col, len_b_col, max_len: int,
     kernel = functools.partial(
         _banded_kernel, max_len=max_len, band_k=band_k, band_w=band_w,
         win_w=win_w, unroll=1 if interpret else 128, block_b=block_b,
+        uniform_cap=uniform_cap,
     )
     return pl.pallas_call(
         kernel,
@@ -159,6 +183,7 @@ def _banded_call(seq_a, seq_b_buf, len_a_col, len_b_col, max_len: int,
         out_specs=pl.BlockSpec((block_b, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         scratch_shapes=[
+            pltpu.VMEM((block_b, band_w), jnp.int32),
             pltpu.VMEM((block_b, band_w), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -206,10 +231,11 @@ def banded_levenshtein(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("band_k", "block_b", "interpret")
+    jax.jit, static_argnames=("band_k", "block_b", "interpret", "uniform_cap")
 )
 def _banded_pairs_gather(seqs, lens, iu, ju, *, band_k: int,
-                         block_b: int = BLOCK_B, interpret: bool = False):
+                         block_b: int = BLOCK_B, interpret: bool = False,
+                         uniform_cap: bool = False):
     """Device-resident pair batch: gather (iu, ju) rows of the sequence
     pool ON DEVICE and run the banded kernel — the all-pairs driver that
     keeps the O(n^2) pair traffic off the host link (the reference's UPGMA
@@ -231,20 +257,24 @@ def _banded_pairs_gather(seqs, lens, iu, ju, *, band_k: int,
     lb = jnp.zeros((Bp, 128), jnp.int32).at[:P, :].set(lens[ju][:, None])
     return _banded_call(
         a_p, b_buf, la, lb, max_len=S, band_k=band_k, block_b=block_b,
-        interpret=interpret,
+        interpret=interpret, uniform_cap=uniform_cap,
     )[:P, 0]
 
 
 def banded_pairs_device(seqs_dev, lens_dev, iu: np.ndarray, ju: np.ndarray,
                         band_k: int = 63, block_b: int = BLOCK_B,
-                        interpret: bool | None = None) -> np.ndarray:
+                        interpret: bool | None = None,
+                        uniform_cap: bool = False) -> np.ndarray:
     """Banded distances for an index-pair batch over a device-resident
-    sequence pool. Exact iff result <= band_k and |la - lb| <= band_k."""
+    sequence pool. Exact iff result <= band_k and |la - lb| <= band_k.
+    uniform_cap: static promise that every pair's la == lb == the pool's
+    padded width (skips per-row capture work in the kernel)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     out = _banded_pairs_gather(
         seqs_dev, lens_dev, jnp.asarray(iu, jnp.int32), jnp.asarray(ju, jnp.int32),
         band_k=band_k, block_b=block_b, interpret=interpret,
+        uniform_cap=uniform_cap,
     )
     return np.asarray(out)
 

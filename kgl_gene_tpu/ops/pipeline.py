@@ -75,11 +75,17 @@ def _forward(
     start_codes: jnp.ndarray,    # (n_start,) amino codes acceptable at pos 0
     use_pallas: bool = False,
 ) -> ForwardOutputs:
+    interpret = jax.default_backend() not in ("tpu", "axon")
     mutated = apply_snp_batch(region, positions, alt_codes, valid)
     coding = _splice_slices(mutated, exon_starts, exon_lens)
     if reverse_strand:
         coding = complement_lut[coding[:, ::-1]]
-    amino = translate_batch(coding, amino_lut)
+    if use_pallas:
+        from .variant_apply import translate_batch_pallas
+
+        amino = translate_batch_pallas(coding, amino_lut, interpret=interpret)
+    else:
+        amino = translate_batch(coding, amino_lut)
 
     # Reference coding (no variants) for the distance baseline.
     ref_coding = _splice_slices(region[None, :], exon_starts, exon_lens)
@@ -94,7 +100,6 @@ def _forward(
     # provably exact and does ~band/(2*S) of the full wavefront's work —
     # the static form of edlib's band doubling (edlib.cpp:161-185).
     band_k = 63 if K_snps <= 63 else (127 if K_snps <= 127 else 0)
-    interpret = jax.default_backend() not in ("tpu", "axon")
     if use_pallas and band_k and S >= 512:
         from .pallas_banded import B_LEAD, _banded_call
 
@@ -108,9 +113,12 @@ def _forward(
             :B, B_LEAD : B_LEAD + S
         ].set(jnp.broadcast_to(ref_coding, (B, S)).astype(jnp.int32))
         len_col = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S)
+        # uniform_cap: every real pair has la == lb == S (mutants are
+        # substitution-only), so the kernel skips per-row capture work and
+        # reads the final wavefront row (padded rows are sliced away).
         distance = _banded_call(
             a_p, b_buf, len_col, len_col, max_len=S, band_k=band_k,
-            block_b=block_b, interpret=interpret,
+            block_b=block_b, interpret=interpret, uniform_cap=True,
         )[:B, 0]
     elif use_pallas:
         from .pallas_edit_distance import BLOCK_B, _pallas_call

@@ -27,6 +27,7 @@ __all__ = [
     "gather_splice",
     "reverse_complement_batch",
     "translate_batch",
+    "translate_batch_pallas",
 ]
 
 
@@ -72,14 +73,62 @@ def reverse_complement_batch(coding: jnp.ndarray, complement_lut: jnp.ndarray) -
     return complement_lut[coding[:, ::-1]]
 
 
-@jax.jit
-def translate_batch(coding: jnp.ndarray, amino_lut: jnp.ndarray) -> jnp.ndarray:
-    """(B, 3k) coding codes -> (B, k) amino codes through the 65-entry LUT
-    (index 64 = codon containing N -> unknown 'Z')."""
+def _codon_index(coding: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3k) base codes -> (B, k) codon LUT indices (64 = contains N)."""
     B = coding.shape[0]
     k = coding.shape[1] // 3
     cod = coding[:, : 3 * k].reshape(B, k, 3).astype(jnp.int32)
     idx = cod[..., 0] * 16 + cod[..., 1] * 4 + cod[..., 2]
     has_n = (cod >= 4).any(axis=-1)
-    idx = jnp.where(has_n, 64, idx)
-    return amino_lut[idx]
+    return jnp.where(has_n, 64, idx)
+
+
+@jax.jit
+def translate_batch(coding: jnp.ndarray, amino_lut: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3k) coding codes -> (B, k) amino codes through the 65-entry LUT
+    (index 64 = codon containing N -> unknown 'Z')."""
+    return amino_lut[_codon_index(coding)]
+
+
+def _translate_kernel(idx_ref, lut_ref, out_ref):
+    """65-way select chain: XLA lowers tiny-table gathers to ~6 ns/element
+    on TPU, while this VPU select chain runs at the dispatch floor. The
+    LUT arrives as SMEM data (NCBI tables stay data, not constants)."""
+    x = idx_ref[:]
+    out = jnp.zeros_like(x)
+    for j in range(65):
+        out = jnp.where(x == j, lut_ref[0, j], out)
+    out_ref[:] = out
+
+
+def translate_batch_pallas(
+    coding: jnp.ndarray, amino_lut: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """TPU translate path: codon indexing in XLA, LUT application as a
+    Pallas select chain (equals translate_batch exactly; used inside the
+    fused forward step where the gather would otherwise cost more than
+    the exon splice and SNP apply combined)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    idx = _codon_index(coding)
+    B, k = idx.shape
+    kp = ((k + 127) // 128) * 128
+    bp = 32 if B % 32 == 0 else 8
+    Bp = ((B + bp - 1) // bp) * bp
+    idxp = jnp.full((Bp, kp), 64, jnp.int32).at[:B, :k].set(idx)
+    lut = jnp.zeros((1, 128), jnp.int32).at[0, :65].set(
+        amino_lut.astype(jnp.int32)
+    )
+    out = pl.pallas_call(
+        _translate_kernel,
+        grid=(Bp // bp,),
+        in_specs=[
+            pl.BlockSpec((bp, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, kp), jnp.int32),
+        interpret=interpret,
+    )(idxp, lut)
+    return out[:B, :k].astype(amino_lut.dtype)

@@ -81,3 +81,9 @@ def test_banded_pairs_device_matches_oracle():
     )
     want = [levenshtein_numpy(seqs[i], seqs[j]) for i, j in zip(iu, ju)]
     assert d.tolist() == want
+    # uniform_cap specialisation (la == lb == pool width) must agree.
+    d2 = banded_pairs_device(
+        jnp.asarray(seqs), jnp.asarray(lens), iu, ju, band_k=63,
+        interpret=True, uniform_cap=True,
+    )
+    assert d2.tolist() == want
