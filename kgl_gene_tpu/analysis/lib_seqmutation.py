@@ -25,7 +25,12 @@ from ..genome.features import (
     TranscriptionSequence,
     TranscriptionSequenceType,
 )
-from ..mutation.capture import batch_capture_tensors, capture_population
+from ..mutation.capture import (
+    BatchCapture,
+    batch_capture_tensors,
+    capture_population,
+    capture_population_batch,
+)
 from ..mutation.sequence_filter import SeqVariantFilterType
 from ..mutation.transcript import SequenceTranscript
 from ..ops.edit_distance import pairwise_distance_matrix
@@ -145,7 +150,8 @@ class MutateGenes:
         self, captures, transcript: TranscriptionSequence,
         stats: MutateStats,
     ) -> List[TranscriptMutateRecord]:
-        """One batched forward step for all SNP-only genomes."""
+        """One batched forward step for a list of GenomeCaptures (legacy
+        per-genome capture path; the batch path below is the fast one)."""
         k_max = max((c.variant_count for c in captures), default=0)
         k_bucket = self.k_bucket
         if k_bucket is not None and k_max > k_bucket:
@@ -157,35 +163,63 @@ class MutateGenes:
             captures, region_start=transcript.start,
             k_bucket=k_bucket, b_bucket=b_bucket,
         )
+        batch = BatchCapture(
+            genome_ids=[c.genome_id for c in captures],
+            positions=positions, alt_codes=alt_codes, valid=valid,
+            k_counts=np.asarray([c.variant_count for c in captures], np.int32),
+            hetero_counts=np.asarray(
+                [c.stats.total_snp_variants for c in captures], np.int32
+            ),
+            host_genome_ids=[], empty_genome_ids=[],
+        )
+        return self._device_mutate_batch(batch, transcript, stats)
+
+    def _device_mutate_batch(
+        self, batch: BatchCapture, transcript: TranscriptionSequence,
+        stats: MutateStats,
+    ) -> List[TranscriptMutateRecord]:
+        """One batched forward step for all SNP-only genomes, with the
+        post-step work (validity classification, coding strings, stats)
+        vectorized over the batch — no per-genome sequence objects."""
+        from ..sequence.alphabet import DNA5
+
         step = self._forward_step(transcript)
-        out = step(positions, alt_codes, valid)
-        coding = np.asarray(out.mutated_coding, dtype=np.uint8)
-        distance = np.asarray(out.distance)
-        records: List[TranscriptMutateRecord] = []
+        out = step(batch.positions, batch.alt_codes, batch.valid)
+        n_dev = len(batch.genome_ids)
+        coding = np.asarray(out.mutated_coding, dtype=np.uint8)[:n_dev]
+        distance = np.asarray(out.distance)[:n_dev]
         is_ncrna = transcript.coding_type is TranscriptionSequenceType.NCRNA
-        for i, cap in enumerate(captures):
-            seq = DNA5SequenceCoding(coding[i], transcript.strand)
-            if is_ncrna:
-                validity = CodingSequenceValidity.NCRNA
-            else:
-                validity = self.contig_ref.check_valid_coding_sequence(seq)
-            n_variants = cap.variant_count
-            stats.total_variants += n_variants
-            stats.total_snp += cap.stats.total_snp_variants
-            stats.total_frameshift += cap.stats.total_frame_shift
-            stats.duplicate_variants += cap.stats.non_unique_count
-            stats.upstream_deleted += cap.stats.upstream_deleted
-            if n_variants:
-                stats.mutant_genomes += 1
-            if CodingSequenceValidity.valid_sequence(validity):
-                stats.valid_proteins += 1
-            else:
-                stats.invalid_proteins += 1
+        if is_ncrna:
+            validities = [CodingSequenceValidity.NCRNA] * n_dev
+        else:
+            amino = np.asarray(out.amino, dtype=np.uint8)[:n_dev]
+            validities = self.contig_ref.check_valid_amino_batch(
+                amino, coding.shape[1]
+            )
+
+        # Vectorized stats (sum semantics identical to the per-genome loop).
+        k_counts = batch.k_counts[:n_dev]
+        stats.total_variants += int(k_counts.sum())
+        stats.total_snp += int(batch.hetero_counts[:n_dev].sum())
+        stats.mutant_genomes += int(np.count_nonzero(k_counts))
+        n_valid = sum(
+            1 for v in validities if CodingSequenceValidity.valid_sequence(v)
+        )
+        stats.valid_proteins += n_valid
+        stats.invalid_proteins += n_dev - n_valid
+
+        # Vectorized coding strings: one LUT pass + slice per record.
+        S = coding.shape[1]
+        char_buf = DNA5.CODE_TO_CHAR[coding].tobytes()
+        gene_id = transcript.gene.feature_id
+        tx_id = transcript.transcript_id
+        records: List[TranscriptMutateRecord] = []
+        for i, genome_id in enumerate(batch.genome_ids):
             records.append(
                 TranscriptMutateRecord(
-                    cap.genome_id, transcript.gene.feature_id,
-                    transcript.transcript_id, n_variants, seq.to_string(),
-                    validity, distance=int(distance[i]),
+                    genome_id, gene_id, tx_id, int(k_counts[i]),
+                    char_buf[i * S : (i + 1) * S].decode("ascii"),
+                    validities[i], distance=int(distance[i]),
                 )
             )
         return records
@@ -200,22 +234,34 @@ class MutateGenes:
         stats = MutateStats()
         by_id: Dict[str, TranscriptMutateRecord] = {}
         reference_coding = self.contig_ref.coding_sequence(transcript).to_string()
+        ref_validity = self.contig_ref.check_valid_transcript(transcript)
 
         def ref_record(genome_id: str) -> TranscriptMutateRecord:
             return TranscriptMutateRecord(
                 genome_id, transcript.gene.feature_id, transcript.transcript_id,
-                0, reference_coding,
-                self.contig_ref.check_valid_transcript(transcript),
+                0, reference_coding, ref_validity,
             )
 
         contig_id = self.contig_ref.contig_id
+        batch: Optional[BatchCapture] = None
         if use_device:
-            cap = capture_population(population, contig_id, transcript.interval)
-            empty_ids, host_ids, device_caps = (
-                cap.empty_genome_ids, cap.host_genome_ids, cap.device
-            )
+            k_bucket = self.k_bucket
+            b_bucket = self.b_bucket
+            try:
+                batch = capture_population_batch(
+                    population, contig_id, transcript.interval,
+                    region_start=transcript.start,
+                    k_bucket=k_bucket, b_bucket=b_bucket,
+                )
+            except ValueError:
+                # bucket too small: grow to the next power of two
+                batch = capture_population_batch(
+                    population, contig_id, transcript.interval,
+                    region_start=transcript.start,
+                )
+            empty_ids, host_ids = batch.empty_genome_ids, batch.host_genome_ids
         else:
-            empty_ids, host_ids, device_caps = [], [], []
+            empty_ids, host_ids = [], []
             for genome_id, genome in population:
                 contig_db = genome.get_contig(contig_id)
                 if contig_db is None or contig_db.variant_count() == 0:
@@ -231,8 +277,8 @@ class MutateGenes:
             by_id[genome_id] = self._host_mutate(
                 genome_id, contig_db, transcript, stats
             )
-        if device_caps:
-            for rec in self._device_mutate(device_caps, transcript, stats):
+        if batch is not None and batch.genome_ids:
+            for rec in self._device_mutate_batch(batch, transcript, stats):
                 by_id[rec.genome_id] = rec
         records = [by_id[gid] for gid in sorted(by_id)]
         return records, stats

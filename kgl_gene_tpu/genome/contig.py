@@ -149,6 +149,40 @@ class ContigReference:
             return CodingSequenceValidity.NOT_MOD3
         return self.check_valid_protein_sequence(self.get_amino_sequence(coding))
 
+    def check_valid_amino_batch(
+        self, amino: np.ndarray, coding_len: int
+    ) -> List[CodingSequenceValidity]:
+        """Vectorized check_valid_coding_sequence over a (B, M) amino-code
+        batch (the device forward step's translation output). Result order
+        and precedence are identical to the scalar check (tested equal):
+        NOT_MOD3 > NO_START_CODON > NONSENSE_MUTATION > NO_STOP_CODON >
+        VALID_PROTEIN."""
+        B, M = amino.shape
+        if coding_len % 3 != 0:
+            return [CodingSequenceValidity.NOT_MOD3] * B
+        starts = np.fromiter(self._start_aminos(), dtype=np.uint8)
+        if M == 0:
+            return [CodingSequenceValidity.NO_START_CODON] * B
+        no_start = ~np.isin(amino[:, 0], starts)
+        is_stop = amino == AminoAcid.STOP
+        any_stop = is_stop.any(axis=1)
+        first_stop = np.argmax(is_stop, axis=1)
+        first_stop_size = np.where(any_stop, first_stop + 1, M)
+        nonsense = first_stop_size != M
+        no_stop = ~is_stop[:, -1]
+        ordered = (
+            CodingSequenceValidity.VALID_PROTEIN,
+            CodingSequenceValidity.NO_STOP_CODON,
+            CodingSequenceValidity.NONSENSE_MUTATION,
+            CodingSequenceValidity.NO_START_CODON,
+        )
+        # Precedence via maximum of per-condition codes.
+        code = np.maximum(
+            np.maximum(no_stop.astype(np.int8), 2 * nonsense.astype(np.int8)),
+            3 * no_start.astype(np.int8),
+        )
+        return [ordered[c] for c in code]
+
     def check_valid_transcript(self, transcript: TranscriptionSequence) -> CodingSequenceValidity:
         if transcript.coding_type is TranscriptionSequenceType.NCRNA:
             return CodingSequenceValidity.NCRNA

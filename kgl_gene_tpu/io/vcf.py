@@ -877,26 +877,35 @@ class _NativeLander:
         rows = np.full(A, -1, dtype=np.int64)
         if A and needed.any():
             rec_has = np.maximum.reduceat(needed.astype(np.int8), row_start[:-1]) > 0
-            intern = self.population.arena.intern
-            rec_contig = res["rec_contig"]
-            rec_pos = res["rec_pos"]
-            id_s, id_e = res["rec_id_start"], res["rec_id_end"]
-            ref_s, ref_e = res["rec_ref_start"], res["rec_ref_end"]
+            intern_bytes = self.population.arena.intern_bytes
+            # char->code as a 256-byte translate table: allele conversion is
+            # one C-level bytes.translate, no per-record numpy slicing.
+            code_trans = bytes(lut)
+            rec_contig = res["rec_contig"].tolist()
+            rec_pos = res["rec_pos"].tolist()
+            id_s, id_e = res["rec_id_start"].tolist(), res["rec_id_end"].tolist()
+            ref_s, ref_e = res["rec_ref_start"].tolist(), res["rec_ref_end"].tolist()
+            alt_sl, alt_el = alt_s.tolist(), alt_e.tolist()
+            row_l = row_start.tolist()
+            needed_l = needed.tolist()
             base = self.record_base
-            for r in np.nonzero(rec_has)[0]:
-                ref_codes = lut[text_np[ref_s[r] : ref_e[r]]]
+            contig_idx = [
+                self.population.arena.contig_index(c) for c in contig_names
+            ]
+            for r in np.nonzero(rec_has)[0].tolist():
+                ref_b = text[ref_s[r] : ref_e[r]].translate(code_trans)
                 ident = (
                     text[id_s[r] : id_e[r]].decode("ascii")
                     if id_e[r] > id_s[r] else ""
                 )
-                cname = contig_names[rec_contig[r]]
-                offset = int(rec_pos[r])
-                for a in range(row_start[r], row_start[r + 1]):
-                    if needed[a]:
-                        rows[a] = intern(
-                            cname, offset, ref_codes,
-                            lut[text_np[alt_s[a] : alt_e[a]]], ident,
-                            base + int(r),
+                cidx = contig_idx[rec_contig[r]]
+                offset = rec_pos[r]
+                for a in range(row_l[r], row_l[r + 1]):
+                    if needed_l[a]:
+                        rows[a] = intern_bytes(
+                            cidx, offset, ref_b,
+                            text[alt_sl[a] : alt_el[a]].translate(code_trans),
+                            ident, base + r,
                         )
 
         # --- incidence landing: bulk column blocks per (genome, contig) ----

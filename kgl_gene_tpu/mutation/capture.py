@@ -42,8 +42,10 @@ from .sequence_filter import (
 __all__ = [
     "GenomeCapture",
     "PopulationCapture",
+    "BatchCapture",
     "fast_snp_capture",
     "capture_population",
+    "capture_population_batch",
     "batch_capture_tensors",
 ]
 
@@ -160,6 +162,187 @@ def capture_population(
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
+
+
+# --------------------------------------------------------------------------- #
+# Vectorized population capture: ONE columnar pass for ALL genomes
+# --------------------------------------------------------------------------- #
+class PopulationContigIndex:
+    """Population-level incidence columns for one contig, globally sorted
+    by offset.
+
+    Concatenates every genome's (row, offset) incidence columns with a
+    genome-slot column so a transcript window is ONE searchsorted slice and
+    the per-genome SNP/conflict classification is pure vectorized numpy —
+    no per-genome Python. This is the columnar replacement for the
+    reference's thread-per-genome capture fan-out
+    (kga_analytic/kga_analysis_library/kga_analysis_lib_seqmutation.cpp:116-140).
+    Cached on the population keyed by (contig, incidence count)."""
+
+    def __init__(self, population: PopulationDB, contig_id: str):
+        self.contig_id = contig_id
+        self.genome_ids: List[str] = [gid for gid, _ in population]
+        slot_of = {gid: i for i, gid in enumerate(self.genome_ids)}
+        self.empty_mask = np.ones(len(self.genome_ids), dtype=bool)
+        gs, rs, os_ = [], [], []
+        for gid, genome in population:
+            contig_db = genome.get_contig(contig_id)
+            if contig_db is None or contig_db.variant_count() == 0:
+                continue
+            self.empty_mask[slot_of[gid]] = False
+            cols = contig_db.columns()
+            n = len(cols["row"])
+            gs.append(np.full(n, slot_of[gid], dtype=np.int32))
+            rs.append(np.asarray(cols["row"], dtype=np.int64))
+            os_.append(np.asarray(cols["offset"], dtype=np.int64))
+        if gs:
+            gslot = np.concatenate(gs)
+            row = np.concatenate(rs)
+            offset = np.concatenate(os_)
+            order = np.argsort(offset, kind="stable")
+            self.gslot, self.row, self.offset = gslot[order], row[order], offset[order]
+        else:
+            self.gslot = np.empty(0, np.int32)
+            self.row = np.empty(0, np.int64)
+            self.offset = np.empty(0, np.int64)
+        self.incidence_count = len(self.row)
+
+    @staticmethod
+    def get(population: PopulationDB, contig_id: str) -> "PopulationContigIndex":
+        cache = getattr(population, "_capture_index_cache", None)
+        if cache is None:
+            cache = {}
+            population._capture_index_cache = cache
+        count = population.variant_count()
+        key = contig_id
+        entry = cache.get(key)
+        if entry is not None and entry[0] == count:
+            return entry[1]
+        index = PopulationContigIndex(population, contig_id)
+        cache[key] = (count, index)
+        return index
+
+
+@dataclass
+class BatchCapture:
+    """Whole-population capture for one transcript region as (B, K)
+    tensors (device genomes) plus the host/empty genome splits.
+
+    Semantics identical to per-genome fast_snp_capture/batch_capture_tensors
+    (tested equal): device genomes are packed in sorted-genome order into
+    rows [0, len(genome_ids)); k_counts / hetero_counts carry the per-genome
+    selection statistics (hetero == FilteredVariantStats.total_snp_variants)."""
+
+    genome_ids: List[str]       # device genomes, sorted order
+    positions: np.ndarray       # (B, K) int32 region-relative SNP positions
+    alt_codes: np.ndarray       # (B, K) uint8
+    valid: np.ndarray           # (B, K) bool
+    k_counts: np.ndarray        # (len(genome_ids),) selected variants per genome
+    hetero_counts: np.ndarray   # (len(genome_ids),) alleles seen exactly once
+    host_genome_ids: List[str]
+    empty_genome_ids: List[str]
+
+
+def capture_population_batch(
+    population: PopulationDB,
+    contig_id: str,
+    region: OpenRightInterval,
+    region_start: Optional[int] = None,
+    k_bucket: Optional[int] = None,
+    b_bucket: Optional[int] = None,
+) -> BatchCapture:
+    """One vectorized pass over the population's contig incidence columns
+    producing the (B, K) device tensors for ALL genomes of a transcript at
+    once. Replaces the per-genome fast_snp_capture loop (which remains as
+    the tested oracle)."""
+    index = PopulationContigIndex.get(population, contig_id)
+    n_genomes = len(index.genome_ids)
+    arena = population.arena
+    empty_ids = [g for g, e in zip(index.genome_ids, index.empty_mask) if e]
+
+    lower = max(0, region.lower - CANONICAL_MARGIN)
+    lo = int(np.searchsorted(index.offset, lower, side="left"))
+    hi = int(np.searchsorted(index.offset, region.upper, side="left"))
+    g = index.gslot[lo:hi]
+    r = index.row[lo:hi]
+    o = index.offset[lo:hi]
+
+    # Host routing (a): any windowed incidence that is not a len-1/len-1
+    # allele (same margin window as fast_snp_capture).
+    snp_ok = (arena.ref_lens[r] == 1) & (arena.alt_lens[r] == 1)
+    host_flag = np.zeros(n_genomes, dtype=bool)
+    if not snp_ok.all():
+        host_flag[np.unique(g[~snp_ok])] = True
+
+    # Modifying set: canonical SNPs modify [offset, offset+1).
+    modifying = (o >= region.lower) & (o < region.upper)
+    gm, rm, om = g[modifying], r[modifying], o[modifying]
+    order = np.lexsort((rm, om, gm))
+    gs, rs, os_ = gm[order], rm[order], om[order]
+
+    # Unique (genome, row) pairs + incidence counts (hom 1/1 contributes
+    # two incidences of one row — dedup keeps one, counts track zygosity).
+    n = len(gs)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = (gs[1:] != gs[:-1]) | (rs[1:] != rs[:-1])
+    uidx = np.nonzero(first)[0]
+    counts = np.diff(np.append(uidx, n))
+    ug, ur, uo = gs[uidx], rs[uidx], os_[uidx]
+
+    # Host routing (b): two DISTINCT rows at one (genome, offset) — the
+    # homozygous-preference / AF tie-break of SequenceVariantFilter.
+    if len(ug) > 1:
+        conflict = (ug[1:] == ug[:-1]) & (uo[1:] == uo[:-1])
+        if conflict.any():
+            host_flag[np.unique(ug[1:][conflict])] = True
+
+    host_mask = host_flag & ~index.empty_mask
+    host_ids = [gid for gid, h in zip(index.genome_ids, host_mask) if h]
+    device_mask = ~host_flag & ~index.empty_mask
+    device_slots = np.nonzero(device_mask)[0]
+    device_ids = [index.genome_ids[s] for s in device_slots]
+    # dense device slot per genome slot (-1 = host/empty)
+    dslot_of = np.full(n_genomes, -1, dtype=np.int64)
+    dslot_of[device_slots] = np.arange(len(device_slots))
+
+    keep = dslot_of[ug] >= 0
+    ug2, ur2, uo2, cnt2 = ug[keep], ur[keep], uo[keep], counts[keep]
+    d2 = dslot_of[ug2]
+
+    n_dev = len(device_slots)
+    k_counts = np.bincount(d2, minlength=n_dev).astype(np.int32)
+    hetero_counts = np.bincount(
+        d2[cnt2 == 1], minlength=n_dev
+    ).astype(np.int32)
+
+    k_max = int(k_counts.max()) if n_dev else 0
+    K = k_bucket if k_bucket is not None else max(8, _next_pow2(k_max))
+    B = b_bucket if b_bucket is not None else max(8, _next_pow2(n_dev))
+    if k_max > K or n_dev > B:
+        raise ValueError(f"bucket too small: need ({n_dev},{k_max}), got ({B},{K})")
+    positions = np.zeros((B, K), dtype=np.int32)
+    alt_codes = np.zeros((B, K), dtype=np.uint8)
+    valid = np.zeros((B, K), dtype=bool)
+    if region_start is None:
+        region_start = region.lower
+    if len(d2):
+        # within-genome rank: d2 is non-decreasing (ug2 sorted)
+        starts = np.searchsorted(d2, np.arange(n_dev))
+        rank = np.arange(len(d2)) - starts[d2]
+        positions[d2, rank] = (uo2 - region_start).astype(np.int32)
+        alt_codes[d2, rank] = arena.alt_first[ur2]
+        valid[d2, rank] = True
+    return BatchCapture(
+        genome_ids=device_ids,
+        positions=positions,
+        alt_codes=alt_codes,
+        valid=valid,
+        k_counts=k_counts,
+        hetero_counts=hetero_counts,
+        host_genome_ids=host_ids,
+        empty_genome_ids=empty_ids,
+    )
 
 
 def batch_capture_tensors(

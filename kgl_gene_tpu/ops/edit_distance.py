@@ -167,6 +167,26 @@ def batched_levenshtein(
 # --------------------------------------------------------------------------- #
 # all-pairs distance matrix
 # --------------------------------------------------------------------------- #
+def _rerun_overflow_pairs(
+    seq_a: np.ndarray, len_a: np.ndarray, seq_b: np.ndarray, len_b: np.ndarray,
+    failed_k: int,
+) -> np.ndarray:
+    """Exact re-run for pairs that overflowed a failed band of width
+    failed_k: continue the edlib doubling at the NEXT band (2k+1); when no
+    wider band exists the pairs go straight to the full wavefront kernel —
+    never re-executing the band that just failed."""
+    from .pallas_banded import B_LEAD, adaptive_banded_levenshtein
+
+    next_k = 2 * failed_k + 1
+    if next_k >= B_LEAD:
+        from .pallas_edit_distance import pallas_batched_levenshtein
+
+        return pallas_batched_levenshtein(seq_a, len_a, seq_b, len_b)
+    return adaptive_banded_levenshtein(
+        seq_a, len_a, seq_b, len_b, start_k=next_k
+    )
+
+
 def pairwise_distance_matrix(
     seqs: np.ndarray,
     lens: np.ndarray,
@@ -223,12 +243,9 @@ def pairwise_distance_matrix(
         )
         pending = np.nonzero(~ok)[0]
         if pending.size:
-            from .pallas_banded import adaptive_banded_levenshtein
-
             bi, bj = iu[pending], ju[pending]
-            dist[pending] = adaptive_banded_levenshtein(
-                seqs[bi], lens[bi], seqs[bj], lens[bj],
-                start_k=min(2 * band_k + 1, 127),
+            dist[pending] = _rerun_overflow_pairs(
+                seqs[bi], lens[bi], seqs[bj], lens[bj], band_k
             )
         out[iu, ju] = dist
         out[ju, iu] = dist

@@ -230,17 +230,15 @@ def banded_levenshtein(
     return np.asarray(out)[:B, 0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("band_k", "block_b", "interpret", "uniform_cap")
-)
-def _banded_pairs_gather(seqs, lens, iu, ju, *, band_k: int,
-                         block_b: int = BLOCK_B, interpret: bool = False,
-                         uniform_cap: bool = False):
-    """Device-resident pair batch: gather (iu, ju) rows of the sequence
-    pool ON DEVICE and run the banded kernel — the all-pairs driver that
-    keeps the O(n^2) pair traffic off the host link (the reference's UPGMA
-    matrix loop, kgl_classification/kgl_distance_tree_upgma.cpp:53-69,
-    re-shaped so only pair INDICES cross the host boundary)."""
+def _banded_pairs_impl(seqs, lens, iu, ju, *, band_k: int,
+                       block_b: int = BLOCK_B, interpret: bool = False,
+                       uniform_cap: bool = False):
+    """Traceable (jit/shard_map-composable) body of the device pair pool:
+    gather (iu, ju) rows of the sequence pool ON DEVICE and run the banded
+    kernel — the all-pairs driver that keeps the O(n^2) pair traffic off
+    the host link (the reference's UPGMA matrix loop,
+    kgl_classification/kgl_distance_tree_upgma.cpp:53-69, re-shaped so only
+    pair INDICES cross the host boundary)."""
     n, S = seqs.shape
     band_w = ((2 * band_k + 1 + 127) // 128) * 128
     win_w = band_w + 256
@@ -259,6 +257,12 @@ def _banded_pairs_gather(seqs, lens, iu, ju, *, band_k: int,
         a_p, b_buf, la, lb, max_len=S, band_k=band_k, block_b=block_b,
         interpret=interpret, uniform_cap=uniform_cap,
     )[:P, 0]
+
+
+_banded_pairs_gather = jax.jit(
+    _banded_pairs_impl,
+    static_argnames=("band_k", "block_b", "interpret", "uniform_cap"),
+)
 
 
 def banded_pairs_device(seqs_dev, lens_dev, iu: np.ndarray, ju: np.ndarray,

@@ -213,6 +213,7 @@ def make_multichip_step(
     region_start: int,
     reverse_strand: bool = False,
     table_name: str = "NCBI_TABLE_1",
+    use_pallas: bool | None = None,
 ):
     """The full step under shard_map: samples sharded over the mesh axis,
     transcript geometry replicated, allele counts psum-merged over ICI.
@@ -220,10 +221,19 @@ def make_multichip_step(
     step(positions, alt_codes, valid, zygosity) where the batch axis of
     every input is sharded; returns (distances sharded, allele counts
     replicated, population AC replicated).
+
+    use_pallas routes each shard's DP through the SAME Pallas kernels as
+    the single-chip step (banded when the SNP budget bounds the band, full
+    wavefront otherwise) so per-chip throughput matches 1-chip; default is
+    auto (on for TPU backends, interpret-mode on the CPU test mesh when
+    explicitly requested).
     """
     from jax import shard_map
 
     from ..sequence.alphabet import AminoAcid
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
 
     axis = mesh.axis_names[0]
     table = amino_translation_table(table_name)
@@ -245,12 +255,16 @@ def make_multichip_step(
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
         out_specs=(P(axis), P(), P()),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation; the
+        # out_specs above pin the sharding explicitly.
+        check_vma=False,
     )
     def step(positions, alt_codes, valid, zygosity):
         out = _forward(
             region, exon_starts, exon_lens, reverse_strand,
             positions, alt_codes, valid,
             amino_lut, complement_lut, AminoAcid.STOP, start_codes,
+            use_pallas=use_pallas,
         )
         # Merge per-shard allele counts and zygosity AC over the mesh.
         allele_counts = jax.lax.psum(out.allele_counts, axis)

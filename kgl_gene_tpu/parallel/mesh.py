@@ -135,13 +135,17 @@ def sharded_inbreeding(
 
 def sharded_pairwise_distances(
     seqs: np.ndarray, lens: np.ndarray, mesh: Mesh,
+    band_k: Optional[int] = None,
 ) -> np.ndarray:
     """All-pairs Levenshtein matrix with PAIR batches sharded over the mesh.
 
     The classification scale-out (SURVEY.md section 7 M3): sequences
     replicate to every device; the upper-triangle pair list shards; each
-    device runs the wavefront DP on its local pairs; results gather
-    host-side into the symmetric matrix. This is the multi-chip form of
+    device runs its local pairs through the SAME kernels as the single-chip
+    path — the banded Pallas pool when band_k is given (exact: overflow
+    pairs re-run through the adaptive band-doubling path host-side), the
+    wavefront DP otherwise; results gather host-side into the symmetric
+    matrix. This is the multi-chip form of
     ops.edit_distance.pairwise_distance_matrix.
     """
     from ..ops.edit_distance import _batched_levenshtein_impl
@@ -160,19 +164,57 @@ def sharded_pairwise_distances(
     seqs_d = jnp.asarray(seqs.astype(np.int32))
     lens_d = jnp.asarray(lens)
 
-    @jax.jit
-    @functools.partial(
-        shard_map, mesh=mesh, in_specs=(P(axis, None), P(None, None), P(None)),
-        out_specs=P(axis),
-    )
-    def _distances(local_pairs, all_seqs, all_lens):
-        a = all_seqs[local_pairs[:, 0]]
-        b = all_seqs[local_pairs[:, 1]]
-        la = all_lens[local_pairs[:, 0]]
-        lb = all_lens[local_pairs[:, 1]]
-        return _batched_levenshtein_impl(a, la, b, lb, a.shape[1], b.shape[1])
+    if band_k is not None:
+        from ..ops.pallas_banded import _banded_pairs_impl
 
-    distances = np.asarray(_distances(pair_shard, seqs_d, lens_d))[:n_pairs]
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        uniform = bool(np.all(lens == M))
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis, None), P(None, None), P(None)),
+            out_specs=P(axis),
+            # pallas_call out_shapes carry no vma annotation; out_specs pin
+            # the sharding explicitly.
+            check_vma=False,
+        )
+        def _banded_distances(local_pairs, all_seqs, all_lens):
+            return _banded_pairs_impl(
+                all_seqs, all_lens, local_pairs[:, 0], local_pairs[:, 1],
+                band_k=band_k, interpret=interpret, uniform_cap=uniform,
+            )
+
+        distances = np.asarray(
+            _banded_distances(pair_shard, seqs_d, lens_d)
+        )[:n_pairs].astype(np.int64)
+        # Band-overflow pairs re-run exactly (host adaptive path), same
+        # routing as pairwise_distance_matrix's single-chip banded route.
+        ok = (distances <= band_k) & (np.abs(lens[iu] - lens[ju]) <= band_k)
+        pending = np.nonzero(~ok)[0]
+        if pending.size:
+            from ..ops.edit_distance import _rerun_overflow_pairs
+
+            bi, bj = iu[pending], ju[pending]
+            distances[pending] = _rerun_overflow_pairs(
+                seqs[bi], lens[bi], seqs[bj], lens[bj], band_k
+            )
+    else:
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis, None), P(None, None), P(None)),
+            out_specs=P(axis),
+        )
+        def _distances(local_pairs, all_seqs, all_lens):
+            a = all_seqs[local_pairs[:, 0]]
+            b = all_seqs[local_pairs[:, 1]]
+            la = all_lens[local_pairs[:, 0]]
+            lb = all_lens[local_pairs[:, 1]]
+            return _batched_levenshtein_impl(a, la, b, lb, a.shape[1], b.shape[1])
+
+        distances = np.asarray(_distances(pair_shard, seqs_d, lens_d))[:n_pairs]
     out = np.zeros((n, n), dtype=np.float64)
     out[iu, ju] = distances
     out[ju, iu] = distances

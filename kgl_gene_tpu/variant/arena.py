@@ -95,6 +95,32 @@ class VariantArena:
                 self._frozen = None
             return row
 
+    def intern_bytes(
+        self,
+        contig_idx: int,
+        offset: int,
+        ref_b: bytes,
+        alt_b: bytes,
+        identifier: str = "",
+        info_row: int = -1,
+    ) -> int:
+        """Intern with pre-encoded code bytes and a resolved contig index —
+        the hot ingest form (no numpy, no per-call contig lookup)."""
+        with self._lock:
+            key = (contig_idx, offset, ref_b, alt_b)
+            row = self._index.get(key)
+            if row is None:
+                row = len(self._offset)
+                self._index[key] = row
+                self._contig.append(contig_idx)
+                self._offset.append(offset)
+                self._ref.append(ref_b)
+                self._alt.append(alt_b)
+                self._identifier.append(identifier)
+                self._info_row.append(info_row)
+                self._frozen = None
+            return row
+
     def __len__(self) -> int:
         return len(self._offset)
 

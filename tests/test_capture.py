@@ -229,3 +229,86 @@ class TestBatchTensors:
                               np.zeros(9, np.uint8))]
         with pytest.raises(ValueError):
             batch_capture_tensors(caps, region_start=0, k_bucket=4)
+
+
+class TestBatchCaptureParity:
+    """capture_population_batch vs the per-genome fast_snp_capture loop."""
+
+    @pytest.mark.parametrize("seed", [0, 4, 13])
+    @pytest.mark.parametrize("indel_fraction", [0.0, 0.3])
+    def test_batch_equals_per_genome(self, genome, seed, indel_fraction):
+        from kgl_gene_tpu.mutation.capture import (
+            batch_capture_tensors as _bct,
+            capture_population_batch,
+        )
+
+        contig, transcript = _transcript(genome, CONTIG_1, "GENE1", "GENE1.1")
+        pop = _synth_population(CONTIG_1, build_contig1(), (30, 140), 24, seed,
+                                indel_fraction=indel_fraction)
+        per = capture_population(pop, CONTIG_1, transcript.interval)
+        batch = capture_population_batch(
+            pop, CONTIG_1, transcript.interval, region_start=transcript.start
+        )
+        assert batch.genome_ids == [c.genome_id for c in per.device]
+        assert sorted(batch.host_genome_ids) == sorted(per.host_genome_ids)
+        assert sorted(batch.empty_genome_ids) == sorted(per.empty_genome_ids)
+        if per.device:
+            pos, alts, valid = _bct(
+                per.device, region_start=transcript.start,
+                k_bucket=batch.positions.shape[1],
+                b_bucket=batch.positions.shape[0],
+            )
+            np.testing.assert_array_equal(batch.positions, pos)
+            np.testing.assert_array_equal(batch.alt_codes, alts)
+            np.testing.assert_array_equal(batch.valid, valid)
+            np.testing.assert_array_equal(
+                batch.k_counts, [c.variant_count for c in per.device]
+            )
+            np.testing.assert_array_equal(
+                batch.hetero_counts,
+                [c.stats.total_snp_variants for c in per.device],
+            )
+
+    def test_index_cache_invalidation(self, genome):
+        from kgl_gene_tpu.mutation.capture import PopulationContigIndex
+
+        contig, transcript = _transcript(genome, CONTIG_1, "GENE1", "GENE1.1")
+        pop = _synth_population(CONTIG_1, build_contig1(), (30, 140), 8, 1)
+        idx1 = PopulationContigIndex.get(pop, CONTIG_1)
+        assert PopulationContigIndex.get(pop, CONTIG_1) is idx1  # cached
+        seq = build_contig1()
+        pop.add_variant(_mk_variant(CONTIG_1, 50, seq[50], "A" if seq[50] != "A" else "C"),
+                        ["G000"])
+        idx2 = PopulationContigIndex.get(pop, CONTIG_1)
+        assert idx2 is not idx1
+        assert idx2.incidence_count == idx1.incidence_count + 1
+
+
+class TestAminoBatchValidity:
+    """check_valid_amino_batch vs the scalar validity classifier."""
+
+    def test_parity_random(self, genome):
+        from kgl_gene_tpu.sequence.alphabet import AminoAcid
+        from kgl_gene_tpu.sequence.sequence import AminoSequence
+
+        contig = genome.get_contig(CONTIG_1)
+        rng = np.random.default_rng(0)
+        B, M = 64, 12
+        amino = rng.integers(0, 22, size=(B, M)).astype(np.uint8)
+        # salt in valid rows: start amino + body + stop
+        starts = np.fromiter(contig._start_aminos(), dtype=np.uint8)
+        for i in range(0, B, 3):
+            amino[i, 0] = starts[0]
+            amino[i, 1:-1] = 1  # no stop in body
+            amino[i, -1] = AminoAcid.STOP
+        batch = contig.check_valid_amino_batch(amino, M * 3)
+        for i in range(B):
+            scalar = contig.check_valid_protein_sequence(AminoSequence(amino[i]))
+            assert batch[i] is scalar, i
+
+    def test_not_mod3(self, genome):
+        contig = genome.get_contig(CONTIG_1)
+        from kgl_gene_tpu.genome.features import CodingSequenceValidity
+
+        out = contig.check_valid_amino_batch(np.zeros((4, 5), np.uint8), 16)
+        assert out == [CodingSequenceValidity.NOT_MOD3] * 4
