@@ -127,7 +127,7 @@ class InfoFilterAnalysis(VirtualAnalysis):
         # matrices of InfoAgeAnalysis, kga_analysis_age.h:66): sum the bin
         # vectors across all variants.
         for fid in sorted(info.subscribed):
-            if "hist" in fid.lower() and fid in info._objects:
+            if "hist" in fid.lower() and info.is_object_field(fid):
                 for row in range(info.count):
                     value = info.object_value(fid, row)
                     if not value:

@@ -40,6 +40,90 @@ from ..variant.db import PopulationDB
 
 __all__ = ["MutateStats", "TranscriptMutateRecord", "MutateGenes", "TranscriptFamilyAnalysis"]
 
+# Device validity code -> enum (matches ops/pipeline.py validity_code and
+# ContigReference.check_valid_amino_batch precedence).
+_VALIDITY_BY_CODE = (
+    CodingSequenceValidity.VALID_PROTEIN,
+    CodingSequenceValidity.NO_STOP_CODON,
+    CodingSequenceValidity.NONSENSE_MUTATION,
+    CodingSequenceValidity.NO_START_CODON,
+)
+
+
+_JIT_HELPERS: Dict[str, object] = {}
+
+# byte value -> its three base-5 digits (codes 0..4); digits beyond a valid
+# packed byte (>= 125) never occur.
+_BASE5_LUT = np.stack(
+    [
+        np.arange(256, dtype=np.uint8) % 5,
+        (np.arange(256, dtype=np.uint8) // 5) % 5,
+        (np.arange(256, dtype=np.uint8) // 25) % 5,
+    ],
+    axis=1,
+)
+
+
+def _pack_outputs(coding, distance, validity_code):
+    """Jit-packed step outputs: two 4-bit coding codes per byte + an 8-byte
+    tail (distance LE32, validity code) so the host fetches ONE array."""
+    fn = _JIT_HELPERS.get("pack")
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _pack(coding, distance, validity_code):
+            B, S = coding.shape
+            c = coding.astype(jnp.uint8)
+            if S % 3:
+                c = jnp.pad(c, ((0, 0), (0, 3 - S % 3)))
+            # base-5 packing: three codes (0..4, N included) per byte.
+            nib = c[:, 0::3] + 5 * c[:, 1::3] + 25 * c[:, 2::3]
+            d = distance.astype(jnp.uint32)
+            tail = jnp.stack(
+                [
+                    (d & 255).astype(jnp.uint8),
+                    ((d >> 8) & 255).astype(jnp.uint8),
+                    ((d >> 16) & 255).astype(jnp.uint8),
+                    ((d >> 24) & 255).astype(jnp.uint8),
+                    validity_code.astype(jnp.uint8),
+                    jnp.zeros_like(validity_code, dtype=jnp.uint8),
+                    jnp.zeros_like(validity_code, dtype=jnp.uint8),
+                    jnp.zeros_like(validity_code, dtype=jnp.uint8),
+                ],
+                axis=1,
+            )
+            return jnp.concatenate([nib, tail], axis=1)
+
+        fn = _JIT_HELPERS["pack"] = _pack
+    return fn(coding, distance, validity_code)
+
+
+def _concat_packed(packed_list):
+    """One jitted concat so ALL transcripts' packed outputs cross the
+    host link in a single transfer (round-trip latency dominates on the
+    tunnel). Batch sizes are padded to the max."""
+    fn = _JIT_HELPERS.get("cat")
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _cat(*arrs):
+            bmax = max(a.shape[0] for a in arrs)
+            return jnp.concatenate(
+                [
+                    jnp.pad(a, ((0, bmax - a.shape[0]), (0, 0)))
+                    if a.shape[0] < bmax else a
+                    for a in arrs
+                ],
+                axis=1,
+            )
+
+        fn = _JIT_HELPERS["cat"] = _cat
+    return fn(*packed_list)
+
 
 @dataclass
 class MutateStats:
@@ -174,28 +258,47 @@ class MutateGenes:
         )
         return self._device_mutate_batch(batch, transcript, stats)
 
-    def _device_mutate_batch(
-        self, batch: BatchCapture, transcript: TranscriptionSequence,
-        stats: MutateStats,
-    ) -> List[TranscriptMutateRecord]:
-        """One batched forward step for all SNP-only genomes, with the
-        post-step work (validity classification, coding strings, stats)
-        vectorized over the batch — no per-genome sequence objects."""
-        from ..sequence.alphabet import DNA5
-
+    def _device_dispatch(self, batch: BatchCapture,
+                         transcript: TranscriptionSequence):
+        """Dispatch the forward step + on-device output packing for one
+        transcript. Returns the (B, S//2 + 8) uint8 device handle: coding
+        packed two 4-bit codes per byte, then distance (4 LE bytes) and the
+        validity code — ONE device->host transfer per step instead of
+        three (the tunnel round-trip, not compute, dominated the e2e
+        path)."""
         step = self._forward_step(transcript)
         out = step(batch.positions, batch.alt_codes, batch.valid)
+        return _pack_outputs(out.mutated_coding, out.distance,
+                             out.validity_code)
+
+    def _device_collect(
+        self, packed: np.ndarray, batch: BatchCapture,
+        transcript: TranscriptionSequence, coding_len: int,
+        stats: MutateStats,
+    ) -> List[TranscriptMutateRecord]:
+        """Unpack one transcript's fetched outputs into records (vectorized
+        strings + validity; no per-genome sequence objects)."""
+        from ..sequence.alphabet import DNA5
+
         n_dev = len(batch.genome_ids)
-        coding = np.asarray(out.mutated_coding, dtype=np.uint8)[:n_dev]
-        distance = np.asarray(out.distance)[:n_dev]
-        is_ncrna = transcript.coding_type is TranscriptionSequenceType.NCRNA
-        if is_ncrna:
+        S = coding_len
+        packed = packed[:n_dev]
+        nib = packed[:, : (S + 2) // 3]
+        # base-5 unpack via one (256, 3) LUT gather.
+        codes = _BASE5_LUT[nib].reshape(n_dev, -1)[:, :S]
+        tail = packed[:, -8:]
+        distance = (
+            tail[:, 0].astype(np.int64)
+            | (tail[:, 1].astype(np.int64) << 8)
+            | (tail[:, 2].astype(np.int64) << 16)
+            | (tail[:, 3].astype(np.int64) << 24)
+        )
+        if transcript.coding_type is TranscriptionSequenceType.NCRNA:
             validities = [CodingSequenceValidity.NCRNA] * n_dev
+        elif S % 3 != 0:
+            validities = [CodingSequenceValidity.NOT_MOD3] * n_dev
         else:
-            amino = np.asarray(out.amino, dtype=np.uint8)[:n_dev]
-            validities = self.contig_ref.check_valid_amino_batch(
-                amino, coding.shape[1]
-            )
+            validities = [_VALIDITY_BY_CODE[c] for c in tail[:, 4]]
 
         # Vectorized stats (sum semantics identical to the per-genome loop).
         k_counts = batch.k_counts[:n_dev]
@@ -209,8 +312,7 @@ class MutateGenes:
         stats.invalid_proteins += n_dev - n_valid
 
         # Vectorized coding strings: one LUT pass + slice per record.
-        S = coding.shape[1]
-        char_buf = DNA5.CODE_TO_CHAR[coding].tobytes()
+        char_buf = DNA5.CODE_TO_CHAR[codes].tobytes()
         gene_id = transcript.gene.feature_id
         tx_id = transcript.transcript_id
         records: List[TranscriptMutateRecord] = []
@@ -224,34 +326,30 @@ class MutateGenes:
             )
         return records
 
-    def mutate_transcript(
+    def _device_mutate_batch(
+        self, batch: BatchCapture, transcript: TranscriptionSequence,
+        stats: MutateStats,
+    ) -> List[TranscriptMutateRecord]:
+        """One batched forward step for all SNP-only genomes: dispatch,
+        single packed fetch, vectorized unpack."""
+        coding_len = transcript.coding_nucleotides()
+        packed_dev = self._device_dispatch(batch, transcript)
+        packed = np.asarray(packed_dev, dtype=np.uint8)
+        return self._device_collect(packed, batch, transcript, coding_len, stats)
+
+    def _capture(
         self, population: PopulationDB, transcript: TranscriptionSequence,
-        use_device: Optional[bool] = None,
-    ) -> Tuple[List[TranscriptMutateRecord], MutateStats]:
-        if use_device is None:
-            use_device = self.use_device
-        use_device = use_device and transcript.coding_nucleotides() >= 3
-        stats = MutateStats()
-        by_id: Dict[str, TranscriptMutateRecord] = {}
-        reference_coding = self.contig_ref.coding_sequence(transcript).to_string()
-        ref_validity = self.contig_ref.check_valid_transcript(transcript)
-
-        def ref_record(genome_id: str) -> TranscriptMutateRecord:
-            return TranscriptMutateRecord(
-                genome_id, transcript.gene.feature_id, transcript.transcript_id,
-                0, reference_coding, ref_validity,
-            )
-
+        use_device: bool,
+    ) -> Tuple[Optional[BatchCapture], List[str], List[str]]:
+        """Capture split for one transcript: (device batch | None,
+        empty ids, host ids)."""
         contig_id = self.contig_ref.contig_id
-        batch: Optional[BatchCapture] = None
         if use_device:
-            k_bucket = self.k_bucket
-            b_bucket = self.b_bucket
             try:
                 batch = capture_population_batch(
                     population, contig_id, transcript.interval,
                     region_start=transcript.start,
-                    k_bucket=k_bucket, b_bucket=b_bucket,
+                    k_bucket=self.k_bucket, b_bucket=self.b_bucket,
                 )
             except ValueError:
                 # bucket too small: grow to the next power of two
@@ -259,29 +357,101 @@ class MutateGenes:
                     population, contig_id, transcript.interval,
                     region_start=transcript.start,
                 )
-            empty_ids, host_ids = batch.empty_genome_ids, batch.host_genome_ids
-        else:
-            empty_ids, host_ids = [], []
-            for genome_id, genome in population:
-                contig_db = genome.get_contig(contig_id)
-                if contig_db is None or contig_db.variant_count() == 0:
-                    empty_ids.append(genome_id)
-                else:
-                    host_ids.append(genome_id)
+            return batch, batch.empty_genome_ids, batch.host_genome_ids
+        empty_ids, host_ids = [], []
+        for genome_id, genome in population:
+            contig_db = genome.get_contig(contig_id)
+            if contig_db is None or contig_db.variant_count() == 0:
+                empty_ids.append(genome_id)
+            else:
+                host_ids.append(genome_id)
+        return None, empty_ids, host_ids
 
-        stats.total_genomes = population.genome_count()
-        for genome_id in empty_ids:
-            by_id[genome_id] = ref_record(genome_id)
-        for genome_id in host_ids:
-            contig_db = population.get_genome(genome_id).get_contig(contig_id)
-            by_id[genome_id] = self._host_mutate(
-                genome_id, contig_db, transcript, stats
+    def mutate_transcripts(
+        self, population: PopulationDB,
+        transcripts: List[TranscriptionSequence],
+        use_device: Optional[bool] = None,
+    ) -> List[Tuple[List[TranscriptMutateRecord], MutateStats]]:
+        """Mutate several transcripts in one device round-trip: every
+        transcript's forward step is DISPATCHED before anything is fetched,
+        the packed outputs concatenate on device and cross the host link as
+        ONE transfer (the per-fetch round-trip dominates remote-attached
+        devices), then records materialise per transcript. The reference
+        equivalent loops transcripts serially around its thread pool
+        (kga_analysis_lib_seqmutation.cpp:26-55)."""
+        if use_device is None:
+            use_device = self.use_device
+        contig_id = self.contig_ref.contig_id
+        preps = []
+        packed_devs = []
+        for transcript in transcripts:
+            dev = use_device and transcript.coding_nucleotides() >= 3
+            batch, empty_ids, host_ids = self._capture(
+                population, transcript, dev
             )
-        if batch is not None and batch.genome_ids:
-            for rec in self._device_mutate_batch(batch, transcript, stats):
-                by_id[rec.genome_id] = rec
-        records = [by_id[gid] for gid in sorted(by_id)]
-        return records, stats
+            stats = MutateStats()
+            stats.total_genomes = population.genome_count()
+            if batch is not None and batch.genome_ids:
+                packed_devs.append(self._device_dispatch(batch, transcript))
+            else:
+                packed_devs.append(None)
+            preps.append((transcript, batch, empty_ids, host_ids, stats))
+
+        # One fetch for every dispatched step.
+        live = [p for p in packed_devs if p is not None]
+        if len(live) > 1:
+            fused = np.asarray(_concat_packed(live), dtype=np.uint8)
+            widths = [int(p.shape[1]) for p in live]
+            offsets = np.cumsum([0] + widths)
+            fetched = iter(
+                fused[:, offsets[i] : offsets[i + 1]] for i in range(len(live))
+            )
+            packed_np = [
+                next(fetched) if p is not None else None for p in packed_devs
+            ]
+        elif len(live) == 1:
+            packed_np = [
+                np.asarray(p, dtype=np.uint8) if p is not None else None
+                for p in packed_devs
+            ]
+        else:
+            packed_np = packed_devs
+
+        results = []
+        for (transcript, batch, empty_ids, host_ids, stats), packed in zip(
+            preps, packed_np
+        ):
+            by_id: Dict[str, TranscriptMutateRecord] = {}
+            reference_coding = self.contig_ref.coding_sequence(
+                transcript
+            ).to_string()
+            ref_validity = self.contig_ref.check_valid_transcript(transcript)
+            for genome_id in empty_ids:
+                by_id[genome_id] = TranscriptMutateRecord(
+                    genome_id, transcript.gene.feature_id,
+                    transcript.transcript_id, 0, reference_coding, ref_validity,
+                )
+            for genome_id in host_ids:
+                contig_db = population.get_genome(genome_id).get_contig(contig_id)
+                by_id[genome_id] = self._host_mutate(
+                    genome_id, contig_db, transcript, stats
+                )
+            if packed is not None:
+                for rec in self._device_collect(
+                    packed, batch, transcript,
+                    transcript.coding_nucleotides(), stats,
+                ):
+                    by_id[rec.genome_id] = rec
+            results.append(([by_id[g] for g in sorted(by_id)], stats))
+        return results
+
+    def mutate_transcript(
+        self, population: PopulationDB, transcript: TranscriptionSequence,
+        use_device: Optional[bool] = None,
+    ) -> Tuple[List[TranscriptMutateRecord], MutateStats]:
+        return self.mutate_transcripts(
+            population, [transcript], use_device=use_device
+        )[0]
 
 
 class TranscriptFamilyAnalysis:

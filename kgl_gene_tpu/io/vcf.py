@@ -267,6 +267,9 @@ class InfoStore:
         self._scalar_int: Dict[str, List[float]] = {}
         self._flags: Dict[str, List[bool]] = {}
         self._objects: Dict[str, List] = {}
+        # native columnar object storage (fid -> CSR / pool tuples)
+        self._native_arrays: Dict[str, tuple] = {}
+        self._native_strings: Dict[str, tuple] = {}
         self.count = 0
         for fid in self.subscribed:
             schema = schemas[fid]
@@ -279,20 +282,27 @@ class InfoStore:
             else:
                 self._objects[fid] = []
 
-    def split_native_fields(self) -> Tuple[List[str], List[str], List[str]]:
-        """Partition subscribed fields into (numeric scalars, flags, objects)
-        for the native columnar parser. Order is deterministic."""
+    def split_native_fields(
+        self,
+    ) -> Tuple[List[str], List[str], List[str], List[str]]:
+        """Partition subscribed fields into (numeric scalars, flags, numeric
+        arrays, strings) for the native columnar parser. Numeric arrays are
+        Number!=1 Integer/Float fields (AF, AC, ...); strings are everything
+        else (CSQ/VEP, CLNSIG, ...). Order is deterministic."""
         numeric: List[str] = []
         flags: List[str] = []
-        objects: List[str] = []
+        arrays: List[str] = []
+        strings: List[str] = []
         for fid in sorted(self.subscribed):
             if fid in self._flags:
                 flags.append(fid)
             elif fid in self._scalar_float or fid in self._scalar_int:
                 numeric.append(fid)
+            elif self.schemas[fid].field_type in ("Integer", "Float"):
+                arrays.append(fid)
             else:
-                objects.append(fid)
-        return numeric, flags, objects
+                strings.append(fid)
+        return numeric, flags, arrays, strings
 
     def load_native_columns(
         self,
@@ -300,12 +310,16 @@ class InfoStore:
         numeric_cols: np.ndarray,
         flag_fields: Sequence[str],
         flag_cols: np.ndarray,
-        object_fields: Sequence[str],
-        object_cols: Dict[str, List],
         count: int,
+        array_cols: Optional[Dict[str, tuple]] = None,
+        string_cols: Optional[Dict[str, tuple]] = None,
     ) -> None:
         """Adopt columns produced by the native record parser (bulk path;
-        add_record must not be mixed in afterwards)."""
+        add_record must not be mixed in afterwards). array_cols maps fid ->
+        (values float64, offsets int64 (R+1), present bool (R,)); string_cols
+        maps fid -> (pool bytes, offsets, present). Values decode lazily in
+        object_value — the columnar equivalent of the reference's packed
+        DataMemoryBlock (kgl_variant_factory_vcf_evidence_memory.h:52-66)."""
         for i, fid in enumerate(numeric_fields):
             col = numeric_cols[i]
             if fid in self._scalar_float:
@@ -314,8 +328,11 @@ class InfoStore:
                 self._scalar_int[fid] = col
         for i, fid in enumerate(flag_fields):
             self._flags[fid] = flag_cols[i]
-        for fid in object_fields:
-            self._objects[fid] = object_cols[fid]
+        self._native_arrays = dict(array_cols or {})
+        self._native_strings = dict(string_cols or {})
+        for fid in list(self._objects):
+            if fid in self._native_arrays or fid in self._native_strings:
+                del self._objects[fid]
         self.count = count
 
     def add_record(self, info_text: str) -> int:
@@ -374,7 +391,28 @@ class InfoStore:
         return np.asarray(self._flags[fid], dtype=bool)
 
     def object_value(self, fid: str, row: int):
+        if fid in self._native_arrays:
+            values, offsets, present = self._native_arrays[fid]
+            if not present[row]:
+                return None
+            vals = values[offsets[row] : offsets[row + 1]]
+            if self.schemas[fid].field_type == "Integer":
+                return [None if np.isnan(v) else int(v) for v in vals]
+            return [None if np.isnan(v) else float(v) for v in vals]
+        if fid in self._native_strings:
+            pool, offsets, present = self._native_strings[fid]
+            if not present[row]:
+                return None
+            text = pool[offsets[row] : offsets[row + 1]].decode("ascii", "replace")
+            return text.split(",")
         return self._objects[fid][row]
+
+    def is_object_field(self, fid: str) -> bool:
+        return (
+            fid in self._objects
+            or fid in self._native_arrays
+            or fid in self._native_strings
+        )
 
     def value(self, fid: str, row: int):
         if fid in self._scalar_float:
@@ -383,8 +421,8 @@ class InfoStore:
             return self._scalar_int[fid][row]
         if fid in self._flags:
             return self._flags[fid][row]
-        if fid in self._objects:
-            return self._objects[fid][row]
+        if self.is_object_field(fid):
+            return self.object_value(fid, row)
         raise KeyError(fid)
 
     def has_field(self, fid: str) -> bool:
@@ -811,11 +849,12 @@ class _NativeLander:
         self.genome_name = genome_name
         self.mode = mode
         self.genome_names = genome_names
-        (self.numeric_fields, self.flag_fields,
-         self.object_fields) = info_store.split_native_fields()
+        (self.numeric_fields, self.flag_fields, self.array_fields,
+         self.string_fields) = info_store.split_native_fields()
         self.numeric_chunks: List[np.ndarray] = []
         self.flag_chunks: List[np.ndarray] = []
-        self.object_cols: Dict[str, List] = {f: [] for f in self.object_fields}
+        self.array_chunks: Dict[str, List[tuple]] = {f: [] for f in self.array_fields}
+        self.string_chunks: Dict[str, List[tuple]] = {f: [] for f in self.string_fields}
         self.record_base = 0
         self.variant_count = 0
         self.bad_records = 0
@@ -827,26 +866,10 @@ class _NativeLander:
         self.ad_mismatch += res["ad_mismatch"]
         self.numeric_chunks.append(res["info_numeric"])
         self.flag_chunks.append(res["info_flags"])
-
-        # --- object INFO fields (Python parse, only when subscribed) -------
-        if self.object_fields:
-            info_s, info_e = res["rec_info_start"], res["rec_info_end"]
-            for r in range(R):
-                info_text = text[info_s[r] : info_e[r]].decode("ascii", "replace")
-                parsed: Dict[str, str] = {}
-                if info_text and info_text != MISSING:
-                    for item in info_text.split(";"):
-                        if not item:
-                            continue
-                        if "=" in item:
-                            k, v = item.split("=", 1)
-                            parsed[k] = v
-                        else:
-                            parsed[item] = ""
-                for fid in self.object_fields:
-                    self.object_cols[fid].append(
-                        self.info_store._parse_object(fid, parsed.get(fid))
-                    )
+        for fid in self.array_fields:
+            self.array_chunks[fid].append(res["info_arrays"][fid])
+        for fid in self.string_fields:
+            self.string_chunks[fid].append(res["info_strings"][fid])
 
         # --- allele interning (one Python step per carrier record) ---------
         text_np = np.frombuffer(text, dtype=np.uint8)
@@ -962,9 +985,36 @@ class _NativeLander:
             np.concatenate(self.flag_chunks, axis=1)
             if self.flag_chunks else np.empty((n_flag, R), dtype=bool)
         )
+        # merge per-chunk CSR / pool columns with offset rebasing
+        arrays = {}
+        for fid, chunks in self.array_chunks.items():
+            if len(chunks) == 1:
+                arrays[fid] = chunks[0]
+                continue
+            values = np.concatenate([c[0] for c in chunks])
+            present = np.concatenate([c[2] for c in chunks])
+            offs, base = [], 0
+            for c in chunks:
+                offs.append(c[1][:-1] + base)
+                base += int(c[1][-1])
+            offs.append(np.asarray([base], dtype=np.int64))
+            arrays[fid] = (values, np.concatenate(offs), present)
+        strings = {}
+        for fid, chunks in self.string_chunks.items():
+            if len(chunks) == 1:
+                strings[fid] = chunks[0]
+                continue
+            pool = b"".join(c[0] for c in chunks)
+            present = np.concatenate([c[2] for c in chunks])
+            offs, base = [], 0
+            for c in chunks:
+                offs.append(c[1][:-1] + base)
+                base += int(c[1][-1])
+            offs.append(np.asarray([base], dtype=np.int64))
+            strings[fid] = (pool, np.concatenate(offs), present)
         self.info_store.load_native_columns(
-            self.numeric_fields, numeric, self.flag_fields, flags,
-            self.object_fields, self.object_cols, R,
+            self.numeric_fields, numeric, self.flag_fields, flags, R,
+            array_cols=arrays, string_cols=strings,
         )
 
 
@@ -1061,6 +1111,7 @@ def _native_parse_population(
             res = parse_vcf_records(
                 bytes(chunk), 0, n_samples, mode,
                 lander.numeric_fields, lander.flag_fields,
+                lander.array_fields, lander.string_fields,
             )
             if res is None:
                 return None

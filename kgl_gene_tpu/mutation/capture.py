@@ -184,21 +184,19 @@ class PopulationContigIndex:
         self.genome_ids: List[str] = [gid for gid, _ in population]
         slot_of = {gid: i for i, gid in enumerate(self.genome_ids)}
         self.empty_mask = np.ones(len(self.genome_ids), dtype=bool)
-        gs, rs, os_ = [], [], []
+        gs, rs = [], []
         for gid, genome in population:
             contig_db = genome.get_contig(contig_id)
             if contig_db is None or contig_db.variant_count() == 0:
                 continue
             self.empty_mask[slot_of[gid]] = False
-            cols = contig_db.columns()
-            n = len(cols["row"])
-            gs.append(np.full(n, slot_of[gid], dtype=np.int32))
-            rs.append(np.asarray(cols["row"], dtype=np.int64))
-            os_.append(np.asarray(cols["offset"], dtype=np.int64))
+            rows = contig_db.incidence_rows()
+            gs.append(np.full(len(rows), slot_of[gid], dtype=np.int32))
+            rs.append(np.asarray(rows, dtype=np.int64))
         if gs:
             gslot = np.concatenate(gs)
             row = np.concatenate(rs)
-            offset = np.concatenate(os_)
+            offset = population.arena.offsets[row]
             order = np.argsort(offset, kind="stable")
             self.gslot, self.row, self.offset = gslot[order], row[order], offset[order]
         else:

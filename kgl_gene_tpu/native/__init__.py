@@ -60,6 +60,16 @@ class _KgtVcfResult(ctypes.Structure):
         ("inc_gq", ctypes.POINTER(ctypes.c_float)),
         ("info_numeric", ctypes.POINTER(ctypes.c_double)),
         ("info_flags", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_arrays", ctypes.c_int64),
+        ("arr_values", ctypes.POINTER(ctypes.c_double)),
+        ("arr_field_start", ctypes.POINTER(ctypes.c_int64)),
+        ("arr_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("arr_present", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_strings", ctypes.c_int64),
+        ("str_pool", ctypes.POINTER(ctypes.c_char)),
+        ("str_field_start", ctypes.POINTER(ctypes.c_int64)),
+        ("str_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("str_present", ctypes.POINTER(ctypes.c_uint8)),
     ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -118,7 +128,8 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         lib.kgt_vcf_parse_records.restype = ctypes.POINTER(_KgtVcfResult)
         lib.kgt_vcf_parse_records.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-            ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int,
         ]
         lib.kgt_vcf_result_free.argtypes = [ctypes.POINTER(_KgtVcfResult)]
         _lib = lib
@@ -194,12 +205,18 @@ def parse_vcf_records(
     mode: int,
     numeric_fields: "list[str]" = (),
     flag_fields: "list[str]" = (),
+    array_fields: "list[str]" = (),
+    string_fields: "list[str]" = (),
     threads: int = 0,
 ) -> Optional[dict]:
     """End-to-end C++ VCF record-loop parse (the reference's 50-thread
     native consumer pool, kgl_variant_factory_readvcf_impl.h:45). Returns a
     dict of flat numpy columns; strings are [start, end) offsets into
-    ``text``. Modes: 0 Pf diploid, 1 phased diploid, 2 mono-genome."""
+    ``text``. Subscribed INFO fields land as typed columns: numeric scalars,
+    flags, numeric arrays (CSR values+offsets+present, the packed-memory
+    job of kgl_evidence/kgl_variant_factory_vcf_evidence_memory.h:52-66)
+    and string value pools (offsets+present into one byte pool per field).
+    Modes: 0 Pf diploid, 1 phased diploid, 2 mono-genome."""
     lib = _get_lib()
     if lib is None:
         return None
@@ -208,6 +225,7 @@ def parse_vcf_records(
     res_ptr = lib.kgt_vcf_parse_records(
         text, len(text), body_start, n_samples, mode,
         "\n".join(numeric_fields).encode(), "\n".join(flag_fields).encode(),
+        "\n".join(array_fields).encode(), "\n".join(string_fields).encode(),
         threads,
     )
     if not res_ptr:
@@ -252,6 +270,37 @@ def parse_vcf_records(
             .reshape(n_flag, R).astype(bool)
             if n_flag else np.empty((0, R), dtype=bool)
         )
+        # numeric-array CSR + string pools per subscribed field
+        na, ns = res.n_arrays, res.n_strings
+        arrays = {}
+        if na:
+            field_start = _copy_col(res.arr_field_start, na + 1, np.int64)
+            all_vals = _copy_col(res.arr_values, int(field_start[-1]), np.float64)
+            offsets = _copy_col(res.arr_offsets, na * (R + 1), np.int64).reshape(na, R + 1)
+            present = (
+                _copy_col(res.arr_present, na * R, np.uint8)
+                .reshape(na, R).astype(bool)
+            )
+            for f, fid in enumerate(array_fields):
+                arrays[fid] = (
+                    all_vals[field_start[f] : field_start[f + 1]],
+                    offsets[f], present[f],
+                )
+        out["info_arrays"] = arrays
+        strings = {}
+        if ns:
+            field_start = _copy_col(res.str_field_start, ns + 1, np.int64)
+            total = int(field_start[-1])
+            pool = ctypes.string_at(res.str_pool, total) if total else b""
+            offsets = _copy_col(res.str_offsets, ns * (R + 1), np.int64).reshape(ns, R + 1)
+            present = (
+                _copy_col(res.str_present, ns * R, np.uint8)
+                .reshape(ns, R).astype(bool)
+            )
+            for f, fid in enumerate(string_fields):
+                lo, hi = int(field_start[f]), int(field_start[f + 1])
+                strings[fid] = (pool[lo:hi], offsets[f], present[f])
+        out["info_strings"] = strings
         return out
     finally:
         lib.kgt_vcf_result_free(res_ptr)

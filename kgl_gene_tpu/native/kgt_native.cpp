@@ -336,6 +336,21 @@ struct KgtVcfResult {
   // subscribed INFO scalar columns, field-major [n_numeric/_flags][n_records]
   double* info_numeric;
   uint8_t* info_flags;
+  // subscribed numeric-ARRAY INFO fields (Number=A/R/G/., Type Int/Float):
+  // CSR per field. arr_field_start[f]..[f+1] bounds field f's segment of
+  // arr_values; arr_offsets[f*(R+1) + r] is record r's start WITHIN the
+  // segment; arr_present[f*R + r] = 0 when the field is absent.
+  int64_t n_arrays;
+  double* arr_values;
+  int64_t* arr_field_start;   // [n_arrays + 1]
+  int64_t* arr_offsets;       // [n_arrays * (R + 1)]
+  uint8_t* arr_present;       // [n_arrays * R]
+  // subscribed STRING INFO fields (everything else): value byte pools.
+  int64_t n_strings;
+  char* str_pool;
+  int64_t* str_field_start;   // [n_strings + 1]
+  int64_t* str_offsets;       // [n_strings * (R + 1)]
+  uint8_t* str_present;       // [n_strings * R]
 };
 
 }  // extern "C"
@@ -368,6 +383,12 @@ struct ThreadOut {
   std::vector<float> inc_gq;
   std::vector<std::vector<double>> numeric;  // per subscribed numeric field
   std::vector<std::vector<uint8_t>> flags;
+  // numeric-array fields: flat values + per-record element counts (-1 absent)
+  std::vector<std::vector<double>> arr_values;
+  std::vector<std::vector<int32_t>> arr_counts;
+  // string fields: value byte pool + per-record lengths (-1 absent)
+  std::vector<std::string> str_pool;
+  std::vector<std::vector<int32_t>> str_lens;
   int64_t ad_mismatch = 0;
   int64_t bad_records = 0;
 };
@@ -411,7 +432,9 @@ std::vector<std::string> split_names(const char* joined) {
 bool parse_line(const char* text, int64_t line_start, int64_t line_end,
                 int n_samples, int mode,
                 const std::vector<std::string>& numeric_names,
-                const std::vector<std::string>& flag_names, ThreadOut& out) {
+                const std::vector<std::string>& flag_names,
+                const std::vector<std::string>& array_names,
+                const std::vector<std::string>& string_names, ThreadOut& out) {
   // split fixed fields
   StrRange fields[9];
   int n_fields = 0;
@@ -476,12 +499,17 @@ bool parse_line(const char* text, int64_t line_start, int64_t line_end,
   }
   int n_alleles = rec.n_alts;
 
-  // INFO subscribed scalar fields
-  if (!numeric_names.empty() || !flag_names.empty()) {
+  // INFO subscribed fields (scalars, flags, numeric arrays, strings)
+  if (!numeric_names.empty() || !flag_names.empty() || !array_names.empty() ||
+      !string_names.empty()) {
     size_t nn = numeric_names.size(), nf = flag_names.size();
+    size_t na = array_names.size(), ns = string_names.size();
     std::vector<double> num_vals(nn,
                                  std::numeric_limits<double>::quiet_NaN());
     std::vector<uint8_t> flag_vals(nf, 0);
+    // per-record value spans for array/string fields (-1 start = absent)
+    std::vector<StrRange> arr_spans(na, {-1, -1});
+    std::vector<StrRange> str_spans(ns, {-1, -1});
     int64_t istart = rec.info.start;
     bool is_missing = span_eq(text, rec.info, ".");
     if (!is_missing) {
@@ -516,6 +544,19 @@ bool parse_line(const char* text, int64_t line_start, int64_t line_end,
                 }
               }
             }
+            // value span for array/string subscriptions; a bare key with
+            // no '=' yields the empty span at eq==i (present, empty).
+            int64_t vstart = (eq < i) ? eq + 1 : i;
+            for (size_t f = 0; f < na; ++f) {
+              if (static_cast<int64_t>(array_names[f].size()) == klen &&
+                  std::memcmp(text + istart, array_names[f].data(), klen) == 0)
+                arr_spans[f] = {vstart, i};
+            }
+            for (size_t f = 0; f < ns; ++f) {
+              if (static_cast<int64_t>(string_names[f].size()) == klen &&
+                  std::memcmp(text + istart, string_names[f].data(), klen) == 0)
+                str_spans[f] = {vstart, i};
+            }
           }
           istart = i + 1;
         }
@@ -523,6 +564,45 @@ bool parse_line(const char* text, int64_t line_start, int64_t line_end,
     }
     for (size_t f = 0; f < nn; ++f) out.numeric[f].push_back(num_vals[f]);
     for (size_t f = 0; f < nf; ++f) out.flags[f].push_back(flag_vals[f]);
+    for (size_t f = 0; f < na; ++f) {
+      const StrRange& sp = arr_spans[f];
+      if (sp.start < 0) {
+        out.arr_counts[f].push_back(-1);
+        continue;
+      }
+      // comma-split doubles; empty/'.' elements land as NaN (None upstream)
+      int32_t count = 0;
+      int64_t tstart = sp.start;
+      for (int64_t q = sp.start; q <= sp.end; ++q) {
+        if (q == sp.end || text[q] == ',') {
+          int64_t n = q - tstart;
+          double v = std::numeric_limits<double>::quiet_NaN();
+          if (n > 0 && !(n == 1 && text[tstart] == '.')) {
+            char buf[64];
+            if (n < 63) {
+              std::memcpy(buf, text + tstart, n);
+              buf[n] = '\0';
+              char* endp = nullptr;
+              double parsed = std::strtod(buf, &endp);
+              if (endp == buf + n) v = parsed;
+            }
+          }
+          out.arr_values[f].push_back(v);
+          ++count;
+          tstart = q + 1;
+        }
+      }
+      out.arr_counts[f].push_back(count);
+    }
+    for (size_t f = 0; f < ns; ++f) {
+      const StrRange& sp = str_spans[f];
+      if (sp.start < 0) {
+        out.str_lens[f].push_back(-1);
+      } else {
+        out.str_pool[f].append(text + sp.start, sp.end - sp.start);
+        out.str_lens[f].push_back(static_cast<int32_t>(sp.end - sp.start));
+      }
+    }
   }
 
   int32_t local_rec = static_cast<int32_t>(out.records.size());
@@ -681,9 +761,13 @@ extern "C" {
 KgtVcfResult* kgt_vcf_parse_records(const char* text, int64_t len,
                                     int64_t body_start, int n_samples,
                                     int mode, const char* numeric_joined,
-                                    const char* flag_joined, int n_threads) {
+                                    const char* flag_joined,
+                                    const char* array_joined,
+                                    const char* string_joined, int n_threads) {
   auto numeric_names = split_names(numeric_joined);
   auto flag_names = split_names(flag_joined);
+  auto array_names = split_names(array_joined);
+  auto string_names = split_names(string_joined);
 
   // line index (single pass; memchr is memory-bound)
   std::vector<int64_t> line_starts;
@@ -706,6 +790,10 @@ KgtVcfResult* kgt_vcf_parse_records(const char* text, int64_t len,
   for (auto& o : outs) {
     o.numeric.resize(numeric_names.size());
     o.flags.resize(flag_names.size());
+    o.arr_values.resize(array_names.size());
+    o.arr_counts.resize(array_names.size());
+    o.str_pool.resize(string_names.size());
+    o.str_lens.resize(string_names.size());
   }
   auto run = [&](int w) {
     ThreadOut& out = outs[w];
@@ -719,7 +807,7 @@ KgtVcfResult* kgt_vcf_parse_records(const char* text, int64_t len,
       if (end <= start) continue;
       if (text[start] == '#') continue;  // stray header line
       if (!parse_line(text, start, end, n_samples, mode, numeric_names,
-                      flag_names, out))
+                      flag_names, array_names, string_names, out))
         ++out.bad_records;
     }
   };
@@ -768,6 +856,66 @@ KgtVcfResult* kgt_vcf_parse_records(const char* text, int64_t len,
   res->inc_gq = alloc_col<float>(I);
   res->info_numeric = alloc_col<double>(res->n_numeric * R);
   res->info_flags = alloc_col<uint8_t>(res->n_flags * R);
+  res->n_arrays = static_cast<int64_t>(array_names.size());
+  res->n_strings = static_cast<int64_t>(string_names.size());
+  {
+    int64_t na = res->n_arrays, ns = res->n_strings;
+    int64_t total_vals = 0, total_pool = 0;
+    for (auto& o : outs) {
+      for (auto& v : o.arr_values) total_vals += static_cast<int64_t>(v.size());
+      for (auto& s : o.str_pool) total_pool += static_cast<int64_t>(s.size());
+    }
+    res->arr_values = alloc_col<double>(total_vals);
+    res->arr_field_start = alloc_col<int64_t>(na + 1);
+    res->arr_offsets = alloc_col<int64_t>(na * (R + 1));
+    res->arr_present = alloc_col<uint8_t>(na * R);
+    res->str_pool = alloc_col<char>(total_pool);
+    res->str_field_start = alloc_col<int64_t>(ns + 1);
+    res->str_offsets = alloc_col<int64_t>(ns * (R + 1));
+    res->str_present = alloc_col<uint8_t>(ns * R);
+    // field-major merge: for each field, walk the thread outputs in order
+    int64_t vcur = 0;
+    res->arr_field_start[0] = 0;
+    for (int64_t f = 0; f < na; ++f) {
+      int64_t* offs = res->arr_offsets + f * (R + 1);
+      uint8_t* pres = res->arr_present + f * R;
+      int64_t rec = 0, seg = 0;
+      for (auto& o : outs) {
+        const auto& vals = o.arr_values[f];
+        std::memcpy(res->arr_values + vcur + seg, vals.data(),
+                    vals.size() * sizeof(double));
+        for (int32_t c : o.arr_counts[f]) {
+          offs[rec] = seg;
+          pres[rec] = c >= 0;
+          if (c > 0) seg += c;
+          ++rec;
+        }
+      }
+      offs[R] = seg;
+      vcur += seg;
+      res->arr_field_start[f + 1] = vcur;
+    }
+    int64_t pcur = 0;
+    res->str_field_start[0] = 0;
+    for (int64_t f = 0; f < ns; ++f) {
+      int64_t* offs = res->str_offsets + f * (R + 1);
+      uint8_t* pres = res->str_present + f * R;
+      int64_t rec = 0, seg = 0;
+      for (auto& o : outs) {
+        const auto& pool = o.str_pool[f];
+        std::memcpy(res->str_pool + pcur + seg, pool.data(), pool.size());
+        for (int32_t l : o.str_lens[f]) {
+          offs[rec] = seg;
+          pres[rec] = l >= 0;
+          if (l > 0) seg += l;
+          ++rec;
+        }
+      }
+      offs[R] = seg;
+      pcur += seg;
+      res->str_field_start[f + 1] = pcur;
+    }
+  }
 
   // contig interning: VCFs are contig-grouped, so memoise the last name.
   std::vector<StrRange> contig_table;
@@ -877,6 +1025,14 @@ void kgt_vcf_result_free(KgtVcfResult* res) {
   std::free(res->inc_gq);
   std::free(res->info_numeric);
   std::free(res->info_flags);
+  std::free(res->arr_values);
+  std::free(res->arr_field_start);
+  std::free(res->arr_offsets);
+  std::free(res->arr_present);
+  std::free(res->str_pool);
+  std::free(res->str_field_start);
+  std::free(res->str_offsets);
+  std::free(res->str_present);
   std::free(res);
 }
 

@@ -46,6 +46,7 @@ class ForwardOutputs(NamedTuple):
     distance: jnp.ndarray         # (B,) edit distance mutant vs reference coding
     allele_counts: jnp.ndarray    # (K_total,) alt allele counts over batch
     valid_protein: jnp.ndarray    # (B,) bool: no internal stop & mod-3 start/stop
+    validity_code: jnp.ndarray    # (B,) int32: 0 valid / 1 no-stop / 2 nonsense / 3 no-start
 
 
 def _splice_slices(
@@ -143,10 +144,21 @@ def _forward(
     ends_ok = amino[:, -1] == stop_code
     internal_stops = jnp.sum(amino[:, :-1] == stop_code, axis=1)
     valid_protein = starts_ok & ends_ok & (internal_stops == 0)
+    # Enum code matching ContigReference.check_valid_amino_batch precedence
+    # (computed on device so the host never fetches the amino batch):
+    # 0 VALID_PROTEIN, 1 NO_STOP_CODON, 2 NONSENSE_MUTATION, 3 NO_START_CODON.
+    validity_code = jnp.maximum(
+        jnp.maximum(
+            (~ends_ok).astype(jnp.int32),
+            2 * (internal_stops > 0).astype(jnp.int32),
+        ),
+        3 * (~starts_ok).astype(jnp.int32),
+    )
 
     allele_counts = jnp.sum(valid.astype(jnp.int32), axis=0)
     return ForwardOutputs(mutated_coding=coding, amino=amino, distance=distance,
-                          allele_counts=allele_counts, valid_protein=valid_protein)
+                          allele_counts=allele_counts, valid_protein=valid_protein,
+                          validity_code=validity_code)
 
 
 @functools.partial(

@@ -146,6 +146,19 @@ class ContigDB:
         return self._from_columns(sel)
 
     # --- queries ----------------------------------------------------------
+    def incidence_rows(self) -> np.ndarray:
+        """Arena rows of all incidences WITHOUT materialising the sorted
+        column set (cheap path for population-level capture indexing).
+        Order is arbitrary; callers sort globally."""
+        if self._cols is not None:
+            return self._cols["row"]
+        parts = [b["row"] for b in self._blocks]
+        if self._builder_rows:
+            parts.append(np.asarray(self._builder_rows, dtype=np.int64))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
     def variant_count(self) -> int:
         return len(self._builder_rows) + sum(len(b["row"]) for b in self._blocks)
 

@@ -256,3 +256,80 @@ class TestChunkedIngest:
         )
         assert header.genome_names == ["S1", "S2", "S3", "S4"]
         assert pop.variant_count() == 11
+
+
+class TestNativeStringInfo:
+    """Native string/array INFO columns (the packed-memory equivalent of
+    kgl_variant_factory_vcf_evidence_memory.h:52-66): gnomAD-style CSQ
+    strings + per-allele float arrays land as pools/CSR with lazy decode,
+    byte-identical to the Python streaming parser."""
+
+    def _write_gnomad_vep(self, path, n_records=40):
+        import numpy as np
+        rng = np.random.default_rng(5)
+        with open(path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            f.write("##contig=<ID=chr21,length=100000>\n")
+            f.write('##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n')
+            f.write('##INFO=<ID=AC,Number=A,Type=Integer,Description="ac">\n')
+            f.write('##INFO=<ID=CLNSIG,Number=.,Type=String,Description="clinsig">\n')
+            f.write('##INFO=<ID=vep,Number=.,Type=String,Description="VEP. Format: Allele|Consequence|IMPACT|Gene">\n')
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+            for r in range(n_records):
+                pos = 100 + r * 7
+                info = []
+                if r % 5 != 0:
+                    info.append(f"AF={rng.random():.4f}")
+                if r % 3 != 0:
+                    info.append(f"AC={int(rng.integers(1, 50))}")
+                if r % 4 == 0:
+                    info.append("CLNSIG=Pathogenic,Benign")
+                if r % 2 == 0:
+                    info.append(
+                        f"vep=A|missense_variant|MODERATE|GENE{r},A|intron_variant|LOW|GENE{r}"
+                    )
+                f.write(
+                    f"chr21\t{pos}\trs{r}\tA\tG\t50\tPASS\t"
+                    + (";".join(info) if info else ".") + "\n"
+                )
+        return path
+
+    def test_native_equals_python(self, tmp_path):
+        path = self._write_gnomad_vep(str(tmp_path / "gnomad.vcf"))
+        sub = ["AF", "AC", "CLNSIG", "vep"]
+        pop_n, _, info_n = parse_vcf_population(
+            path, "g", "MONO_GENOME", subscribed_info=sub, use_native=True)
+        pop_p, _, info_p = parse_vcf_population(
+            path, "g", "MONO_GENOME", subscribed_info=sub, use_native=False)
+        assert info_n.count == info_p.count == 40
+        for r in range(info_n.count):
+            for fid in sub:
+                assert info_n.object_value(fid, r) == info_p.object_value(fid, r), (fid, r)
+
+    def test_vep_subfields_on_native_columns(self, tmp_path):
+        from kgl_gene_tpu.variant.vep import VEPSubFields
+
+        path = self._write_gnomad_vep(str(tmp_path / "gnomad2.vcf"))
+        _, _, info = parse_vcf_population(
+            path, "g", "MONO_GENOME", subscribed_info=["vep"], use_native=True)
+        vep = VEPSubFields(info)
+        assert vep.has_vep()
+        recs = vep.records(0)
+        assert len(recs) == 2
+        assert recs[0]["Consequence"] == "missense_variant"
+        assert recs[1]["IMPACT"] == "LOW"
+        assert vep.records(1) == []  # odd record: no vep field
+
+    def test_chunked_string_columns(self, tmp_path, monkeypatch):
+        path = self._write_gnomad_vep(str(tmp_path / "gnomad3.vcf"))
+        sub = ["AF", "CLNSIG", "vep"]
+        whole = parse_vcf_population(
+            path, "g", "MONO_GENOME", subscribed_info=sub, use_native=True)
+        monkeypatch.setenv("KGT_NATIVE_INGEST_CHUNK_BYTES", "128")
+        chunked = parse_vcf_population(
+            path, "g", "MONO_GENOME", subscribed_info=sub, use_native=True)
+        info_w, info_c = whole[2], chunked[2]
+        assert info_c.count == info_w.count
+        for r in range(info_w.count):
+            for fid in sub:
+                assert info_c.object_value(fid, r) == info_w.object_value(fid, r)
