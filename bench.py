@@ -103,7 +103,10 @@ def bench_allpairs(jax, mutants):
     matrix = pairwise_distance_matrix(mutants, lens, band_k=band_k)
     elapsed = time.perf_counter() - start
     n_pairs = n * (n - 1) // 2
-    assert matrix.shape == (n, n) and matrix.max() <= 127
+    # Workload-derived exactness bound: each mutant differs from the
+    # reference by <= SNPS substitutions, so any pair differs by <= 2*SNPS
+    # (band overflow would still return exact, larger distances).
+    assert matrix.shape == (n, n) and matrix.max() <= 2 * 48
     return n_pairs * S * S / elapsed / 1e9, n_pairs / elapsed
 
 

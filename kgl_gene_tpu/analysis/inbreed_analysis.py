@@ -80,26 +80,32 @@ class InbreedAnalysis(VirtualAnalysis):
         offsets: np.ndarray, contigs: np.ndarray, candidate: np.ndarray,
         lower: int, upper: int, spacing: int, count: int,
     ) -> np.ndarray:
-        """Locus-selection mask: offset window [lower, upper), greedy
+        """Locus-selection mask: offset window [lower, upper] (upper
+        INCLUSIVE — the reference's getAllelesFromTo breaks only when
+        offset > upperOffset(), kga_analysis_inbreed_locus.cpp), greedy
         minimum spacing per contig (linkage-disequilibrium minimisation),
-        count cap — RetrieveLociiVector::getLociiFromTo/getLociiCount
+        and the LociiCount cap applied PER CONTIG (getLocusList runs per
+        ContigDB) — RetrieveLociiVector::getLociiFromTo/getLociiCount
         (kga_analysis_inbreed_locus.h:33-41). offsets are sorted within
         each contig run; candidate marks loci passing the AF window."""
-        mask = candidate & (offsets >= lower) & (offsets < upper)
-        if spacing > 0:
-            thinned = np.zeros_like(mask)
-            for c in np.unique(contigs):
-                idx = np.nonzero(mask & (contigs == c))[0]
+        mask = candidate & (offsets >= lower) & (offsets <= upper)
+        for c in np.unique(contigs):
+            cmask = mask & (contigs == c)
+            if spacing > 0:
+                idx = np.nonzero(cmask)[0]
                 offs = offsets[idx]
+                thinned_idx = []
                 pos = 0
                 # searchsorted jumps: O(picks x log n) per contig.
                 while pos < len(idx):
-                    thinned[idx[pos]] = True
+                    thinned_idx.append(idx[pos])
                     pos = int(np.searchsorted(offs, offs[pos] + spacing, side="left"))
-            mask = thinned
-        if int(mask.sum()) > count:
-            sel = np.nonzero(mask)[0][count:]
-            mask[sel] = False
+                cmask = np.zeros_like(cmask)
+                cmask[thinned_idx] = True
+            picked = np.nonzero(cmask)[0]
+            if len(picked) > count:
+                cmask[picked[count:]] = False
+            mask = np.where(contigs == c, cmask, mask)
         return mask
 
     def _locus_data(self, population) -> Optional[LocusData]:

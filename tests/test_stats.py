@@ -312,6 +312,10 @@ class TestInbreedLocusSelection:
         cand = np.ones(5, dtype=bool)
         mask = InbreedAnalysis.select_loci(offsets, contigs, cand, 50, 200, 0, 10**9)
         np.testing.assert_array_equal(mask, [False, True, True, True, False])
+        # Upper bound is INCLUSIVE (reference getAllelesFromTo breaks only
+        # when offset > upperOffset()).
+        mask = InbreedAnalysis.select_loci(offsets, contigs, cand, 50, 150, 0, 10**9)
+        np.testing.assert_array_equal(mask, [False, True, True, True, False])
 
     def test_spacing_greedy_per_contig(self):
         from kgl_gene_tpu.analysis.inbreed_analysis import InbreedAnalysis
@@ -333,6 +337,19 @@ class TestInbreedLocusSelection:
         cand = np.ones(10, dtype=bool)
         mask = InbreedAnalysis.select_loci(offsets, contigs, cand, 0, 10**9, 0, 3)
         assert mask.sum() == 3 and mask[:3].all()
+
+    def test_count_cap_per_contig(self):
+        from kgl_gene_tpu.analysis.inbreed_analysis import InbreedAnalysis
+
+        # LociiCount applies PER CONTIG (reference getLocusList runs per
+        # ContigDB): 3 from each contig, not 3 overall.
+        offsets = np.concatenate([np.arange(5), np.arange(5)])
+        contigs = np.array([0] * 5 + [1] * 5, dtype=np.int64)
+        cand = np.ones(10, dtype=bool)
+        mask = InbreedAnalysis.select_loci(offsets, contigs, cand, 0, 10**9, 0, 3)
+        assert mask.sum() == 6
+        assert mask[:3].all() and not mask[3:5].any()
+        assert mask[5:8].all() and not mask[8:].any()
 
     def test_plugin_window_params_reach_selection(self, population, tmp_path):
         pop, _ = population
