@@ -117,9 +117,13 @@ def bench_end_to_end(jax, tmp):
     from kgl_gene_tpu.io.synthetic import generate_population_files
     from kgl_gene_tpu.io.vcf import parse_vcf_population
 
+    # snp_only=False: ~10% of records are canonical indels, so the pass
+    # exercises the general device indel step alongside the SNP fast step
+    # (the reference applies SNP/ins/del uniformly in its hot loop,
+    # kgl_mutation/kgl_mutation_sequence.h:26).
     paths = generate_population_files(
         tmp, n_samples=256, contig_len=120_000, n_genes=4,
-        n_records=3_000, coding_len=3_000,
+        n_records=3_000, coding_len=3_000, snp_only=False,
     )
     genome = GenomeReference.create_genome_database(
         "synthetic", paths.fasta, paths.gff3

@@ -30,6 +30,7 @@ from ..mutation.capture import (
     batch_capture_tensors,
     capture_population,
     capture_population_batch,
+    capture_population_split,
 )
 from ..mutation.sequence_filter import SeqVariantFilterType
 from ..mutation.transcript import SequenceTranscript
@@ -41,12 +42,14 @@ from ..variant.db import PopulationDB
 __all__ = ["MutateStats", "TranscriptMutateRecord", "MutateGenes", "TranscriptFamilyAnalysis"]
 
 # Device validity code -> enum (matches ops/pipeline.py validity_code and
-# ContigReference.check_valid_amino_batch precedence).
+# ContigReference.check_valid_amino_batch precedence; 4 = per-genome
+# NOT_MOD3 from the indel step's dynamic coding lengths).
 _VALIDITY_BY_CODE = (
     CodingSequenceValidity.VALID_PROTEIN,
     CodingSequenceValidity.NO_STOP_CODON,
     CodingSequenceValidity.NONSENSE_MUTATION,
     CodingSequenceValidity.NO_START_CODON,
+    CodingSequenceValidity.NOT_MOD3,
 )
 
 
@@ -64,16 +67,17 @@ _BASE5_LUT = np.stack(
 )
 
 
-def _pack_outputs(coding, distance, validity_code):
-    """Jit-packed step outputs: two 4-bit coding codes per byte + an 8-byte
-    tail (distance LE32, validity code) so the host fetches ONE array."""
+def _pack_outputs(coding, distance, validity_code, coding_len):
+    """Jit-packed step outputs: three base-5 coding codes per byte + an
+    8-byte tail (distance LE32, validity code, coding length LE24) so the
+    host fetches ONE array."""
     fn = _JIT_HELPERS.get("pack")
     if fn is None:
         import jax
         import jax.numpy as jnp
 
         @jax.jit
-        def _pack(coding, distance, validity_code):
+        def _pack(coding, distance, validity_code, coding_len):
             B, S = coding.shape
             c = coding.astype(jnp.uint8)
             if S % 3:
@@ -81,6 +85,7 @@ def _pack_outputs(coding, distance, validity_code):
             # base-5 packing: three codes (0..4, N included) per byte.
             nib = c[:, 0::3] + 5 * c[:, 1::3] + 25 * c[:, 2::3]
             d = distance.astype(jnp.uint32)
+            cl = coding_len.astype(jnp.uint32)
             tail = jnp.stack(
                 [
                     (d & 255).astype(jnp.uint8),
@@ -88,16 +93,16 @@ def _pack_outputs(coding, distance, validity_code):
                     ((d >> 16) & 255).astype(jnp.uint8),
                     ((d >> 24) & 255).astype(jnp.uint8),
                     validity_code.astype(jnp.uint8),
-                    jnp.zeros_like(validity_code, dtype=jnp.uint8),
-                    jnp.zeros_like(validity_code, dtype=jnp.uint8),
-                    jnp.zeros_like(validity_code, dtype=jnp.uint8),
+                    (cl & 255).astype(jnp.uint8),
+                    ((cl >> 8) & 255).astype(jnp.uint8),
+                    ((cl >> 16) & 255).astype(jnp.uint8),
                 ],
                 axis=1,
             )
             return jnp.concatenate([nib, tail], axis=1)
 
         fn = _JIT_HELPERS["pack"] = _pack
-    return fn(coding, distance, validity_code)
+    return fn(coding, distance, validity_code, coding_len)
 
 
 def _concat_packed(packed_list):
@@ -258,18 +263,61 @@ class MutateGenes:
         )
         return self._device_mutate_batch(batch, transcript, stats)
 
+    def _indel_step(self, transcript: TranscriptionSequence, K: int, A: int,
+                    band_k: int):
+        """Jitted general SNP+indel device step for this transcript geometry
+        (cached per slot-shape + band)."""
+        key = ("indel", transcript.transcript_id, transcript.start,
+               transcript.end, K, A, band_k)
+        step = self._step_cache.get(key)
+        if step is None:
+            import jax
+
+            from ..ops.pipeline import make_indel_forward_step
+
+            region = self.contig_ref.subsequence(transcript.interval).codes
+            step = make_indel_forward_step(
+                region,
+                transcript.exon_arrays(),
+                region_start=transcript.start,
+                reverse_strand=transcript.strand is StrandSense.REVERSE,
+                table_name=self.contig_ref.coding_table.name,
+                use_pallas=jax.default_backend() in ("tpu", "axon"),
+                pad_coding=K * A,
+                band_k=band_k,
+            )
+            self._step_cache[key] = step
+        return step
+
     def _device_dispatch(self, batch: BatchCapture,
                          transcript: TranscriptionSequence):
         """Dispatch the forward step + on-device output packing for one
-        transcript. Returns the (B, S//2 + 8) uint8 device handle: coding
-        packed two 4-bit codes per byte, then distance (4 LE bytes) and the
-        validity code — ONE device->host transfer per step instead of
-        three (the tunnel round-trip, not compute, dominated the e2e
-        path)."""
+        transcript. Returns the packed uint8 device handle: coding base-5
+        (3 codes/byte) plus distance/validity/length tail — ONE
+        device->host transfer per step instead of three (the tunnel
+        round-trip, not compute, dominated the e2e path)."""
+        import jax.numpy as jnp
+
         step = self._forward_step(transcript)
         out = step(batch.positions, batch.alt_codes, batch.valid)
+        coding_len = jnp.full(
+            out.distance.shape, out.mutated_coding.shape[1], jnp.int32
+        )
         return _pack_outputs(out.mutated_coding, out.distance,
-                             out.validity_code)
+                             out.validity_code, coding_len)
+
+    def _device_dispatch_indel(self, batch, transcript: TranscriptionSequence):
+        """Dispatch the general SNP+indel step for one transcript."""
+        K = batch.pos.shape[1]
+        A = batch.ins_codes.shape[2]
+        band_k = 63 if batch.edit_bound <= 63 else (
+            127 if batch.edit_bound <= 127 else 0
+        )
+        step = self._indel_step(transcript, K, A, band_k)
+        out = step(batch.pos, batch.kind, batch.del_len, batch.ins_codes,
+                   batch.ins_len, batch.alt_code, batch.valid)
+        return _pack_outputs(out.mutated_coding, out.distance,
+                             out.validity_code, out.coding_len)
 
     def _device_collect(
         self, packed: np.ndarray, batch: BatchCapture,
@@ -326,6 +374,60 @@ class MutateGenes:
             )
         return records
 
+    def _device_collect_indel(
+        self, packed: np.ndarray, batch, transcript: TranscriptionSequence,
+        stats: MutateStats,
+    ) -> List[TranscriptMutateRecord]:
+        """Unpack the general step's outputs (variable coding lengths)."""
+        from ..sequence.alphabet import DNA5
+
+        n_dev = len(batch.genome_ids)
+        packed = packed[:n_dev]
+        nib = packed[:, :-8]
+        codes = _BASE5_LUT[nib].reshape(n_dev, -1)
+        W = codes.shape[1]
+        tail = packed[:, -8:]
+        distance = (
+            tail[:, 0].astype(np.int64)
+            | (tail[:, 1].astype(np.int64) << 8)
+            | (tail[:, 2].astype(np.int64) << 16)
+            | (tail[:, 3].astype(np.int64) << 24)
+        )
+        lens = (
+            tail[:, 5].astype(np.int64)
+            | (tail[:, 6].astype(np.int64) << 8)
+            | (tail[:, 7].astype(np.int64) << 16)
+        )
+        if transcript.coding_type is TranscriptionSequenceType.NCRNA:
+            validities = [CodingSequenceValidity.NCRNA] * n_dev
+        else:
+            validities = [_VALIDITY_BY_CODE[c] for c in tail[:, 4]]
+
+        k_counts = batch.k_counts[:n_dev]
+        stats.total_variants += int(k_counts.sum())
+        stats.total_snp += int(batch.hetero_counts[:n_dev].sum())
+        stats.total_frameshift += int(batch.frameshift_counts[:n_dev].sum())
+        stats.mutant_genomes += int(np.count_nonzero(k_counts))
+        n_valid = sum(
+            1 for v in validities if CodingSequenceValidity.valid_sequence(v)
+        )
+        stats.valid_proteins += n_valid
+        stats.invalid_proteins += n_dev - n_valid
+
+        char_buf = DNA5.CODE_TO_CHAR[codes].tobytes()
+        gene_id = transcript.gene.feature_id
+        tx_id = transcript.transcript_id
+        records: List[TranscriptMutateRecord] = []
+        for i, genome_id in enumerate(batch.genome_ids):
+            records.append(
+                TranscriptMutateRecord(
+                    genome_id, gene_id, tx_id, int(k_counts[i]),
+                    char_buf[i * W : i * W + int(lens[i])].decode("ascii"),
+                    validities[i], distance=int(distance[i]),
+                )
+            )
+        return records
+
     def _device_mutate_batch(
         self, batch: BatchCapture, transcript: TranscriptionSequence,
         stats: MutateStats,
@@ -340,24 +442,45 @@ class MutateGenes:
     def _capture(
         self, population: PopulationDB, transcript: TranscriptionSequence,
         use_device: bool,
-    ) -> Tuple[Optional[BatchCapture], List[str], List[str]]:
-        """Capture split for one transcript: (device batch | None,
-        empty ids, host ids)."""
+    ):
+        """Capture split for one transcript: (snp batch | None,
+        indel batch | None, empty ids, host ids). The general indel device
+        route applies only under the DEFAULT filter (other filter types
+        change indel selection; indel genomes then take the host oracle)."""
         contig_id = self.contig_ref.contig_id
         if use_device:
+            default_filter = (
+                self.filter_type is SeqVariantFilterType.DEFAULT_SEQ_FILTER
+            )
             try:
-                batch = capture_population_batch(
-                    population, contig_id, transcript.interval,
-                    region_start=transcript.start,
-                    k_bucket=self.k_bucket, b_bucket=self.b_bucket,
-                )
+                if default_filter:
+                    snp_batch, indel_batch = capture_population_split(
+                        population, contig_id, transcript.interval,
+                        region_start=transcript.start,
+                        k_bucket=self.k_bucket, b_bucket=self.b_bucket,
+                    )
+                else:
+                    snp_batch = capture_population_batch(
+                        population, contig_id, transcript.interval,
+                        region_start=transcript.start,
+                        k_bucket=self.k_bucket, b_bucket=self.b_bucket,
+                    )
+                    indel_batch = None
             except ValueError:
                 # bucket too small: grow to the next power of two
-                batch = capture_population_batch(
-                    population, contig_id, transcript.interval,
-                    region_start=transcript.start,
-                )
-            return batch, batch.empty_genome_ids, batch.host_genome_ids
+                if default_filter:
+                    snp_batch, indel_batch = capture_population_split(
+                        population, contig_id, transcript.interval,
+                        region_start=transcript.start,
+                    )
+                else:
+                    snp_batch = capture_population_batch(
+                        population, contig_id, transcript.interval,
+                        region_start=transcript.start,
+                    )
+                    indel_batch = None
+            return (snp_batch, indel_batch, snp_batch.empty_genome_ids,
+                    snp_batch.host_genome_ids)
         empty_ids, host_ids = [], []
         for genome_id, genome in population:
             contig_db = genome.get_contig(contig_id)
@@ -365,7 +488,7 @@ class MutateGenes:
                 empty_ids.append(genome_id)
             else:
                 host_ids.append(genome_id)
-        return None, empty_ids, host_ids
+        return None, None, empty_ids, host_ids
 
     def mutate_transcripts(
         self, population: PopulationDB,
@@ -383,44 +506,44 @@ class MutateGenes:
             use_device = self.use_device
         contig_id = self.contig_ref.contig_id
         preps = []
-        packed_devs = []
+        packed_devs = []  # flat list of (prep_index, which, device handle)
         for transcript in transcripts:
             dev = use_device and transcript.coding_nucleotides() >= 3
-            batch, empty_ids, host_ids = self._capture(
+            snp_batch, indel_batch, empty_ids, host_ids = self._capture(
                 population, transcript, dev
             )
             stats = MutateStats()
             stats.total_genomes = population.genome_count()
-            if batch is not None and batch.genome_ids:
-                packed_devs.append(self._device_dispatch(batch, transcript))
-            else:
-                packed_devs.append(None)
-            preps.append((transcript, batch, empty_ids, host_ids, stats))
+            i = len(preps)
+            if snp_batch is not None and snp_batch.genome_ids:
+                packed_devs.append(
+                    (i, "snp", self._device_dispatch(snp_batch, transcript))
+                )
+            if indel_batch is not None and indel_batch.genome_ids:
+                packed_devs.append(
+                    (i, "indel",
+                     self._device_dispatch_indel(indel_batch, transcript))
+                )
+            preps.append(
+                (transcript, snp_batch, indel_batch, empty_ids, host_ids, stats)
+            )
 
         # One fetch for every dispatched step.
-        live = [p for p in packed_devs if p is not None]
+        fetched: Dict[Tuple[int, str], np.ndarray] = {}
+        live = [p for (_i, _w, p) in packed_devs]
         if len(live) > 1:
             fused = np.asarray(_concat_packed(live), dtype=np.uint8)
             widths = [int(p.shape[1]) for p in live]
             offsets = np.cumsum([0] + widths)
-            fetched = iter(
-                fused[:, offsets[i] : offsets[i + 1]] for i in range(len(live))
-            )
-            packed_np = [
-                next(fetched) if p is not None else None for p in packed_devs
-            ]
+            for j, (i, which, _p) in enumerate(packed_devs):
+                fetched[(i, which)] = fused[:, offsets[j] : offsets[j + 1]]
         elif len(live) == 1:
-            packed_np = [
-                np.asarray(p, dtype=np.uint8) if p is not None else None
-                for p in packed_devs
-            ]
-        else:
-            packed_np = packed_devs
+            i, which, p = packed_devs[0]
+            fetched[(i, which)] = np.asarray(p, dtype=np.uint8)
 
         results = []
-        for (transcript, batch, empty_ids, host_ids, stats), packed in zip(
-            preps, packed_np
-        ):
+        for i, (transcript, snp_batch, indel_batch, empty_ids, host_ids,
+                stats) in enumerate(preps):
             by_id: Dict[str, TranscriptMutateRecord] = {}
             reference_coding = self.contig_ref.coding_sequence(
                 transcript
@@ -431,15 +554,53 @@ class MutateGenes:
                     genome_id, transcript.gene.feature_id,
                     transcript.transcript_id, 0, reference_coding, ref_validity,
                 )
-            for genome_id in host_ids:
-                contig_db = population.get_genome(genome_id).get_contig(contig_id)
-                by_id[genome_id] = self._host_mutate(
-                    genome_id, contig_db, transcript, stats
+            if len(host_ids) >= 8:
+                # Pool the host-exact fallback (the reference's
+                # thread-per-genome pool, kga_analysis_lib_seqmutation.cpp:
+                # 116-140); each task gets a private MutateStats, reduced
+                # below (thread-safe without locks).
+                from ..parallel.host_pipeline import WorkflowThreads
+
+                pool = WorkflowThreads(
+                    WorkflowThreads.default_threads(len(host_ids))
                 )
-            if packed is not None:
+                futures = []
+                for genome_id in host_ids:
+                    contig_db = population.get_genome(genome_id).get_contig(
+                        contig_id
+                    )
+                    local = MutateStats()
+                    futures.append((genome_id, local, pool.enqueue_future(
+                        self._host_mutate, genome_id, contig_db, transcript,
+                        local,
+                    )))
+                for genome_id, local, fut in futures:
+                    by_id[genome_id] = fut.result()
+                    for f in (
+                        "mutant_genomes", "total_variants", "total_snp",
+                        "total_frameshift", "duplicate_variants",
+                        "upstream_deleted", "valid_proteins",
+                        "invalid_proteins",
+                    ):
+                        setattr(stats, f, getattr(stats, f) + getattr(local, f))
+                pool.shutdown()
+            else:
+                for genome_id in host_ids:
+                    contig_db = population.get_genome(genome_id).get_contig(
+                        contig_id
+                    )
+                    by_id[genome_id] = self._host_mutate(
+                        genome_id, contig_db, transcript, stats
+                    )
+            if (i, "snp") in fetched:
                 for rec in self._device_collect(
-                    packed, batch, transcript,
+                    fetched[(i, "snp")], snp_batch, transcript,
                     transcript.coding_nucleotides(), stats,
+                ):
+                    by_id[rec.genome_id] = rec
+            if (i, "indel") in fetched:
+                for rec in self._device_collect_indel(
+                    fetched[(i, "indel")], indel_batch, transcript, stats,
                 ):
                     by_id[rec.genome_id] = rec
             results.append(([by_id[g] for g in sorted(by_id)], stats))

@@ -11,9 +11,18 @@ runApplication[AppEnv] template as run_application(app_class, argv).
 from __future__ import annotations
 
 import argparse
+import os
 import signal
 import sys
 from typing import List, Optional, Type
+
+# Persistent XLA compilation cache for every app run: remote-attached
+# devices (the axon tunnel) pay minutes per cold compile; the cache brings
+# repeat runs down to seconds. Overridable via the environment.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "kgl_gene_tpu", "jax"),
+)
 
 from ..utils.logging import ExecEnvLogger, init_logger, log
 from ..utils.utility import process_mem_usage

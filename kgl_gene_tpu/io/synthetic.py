@@ -123,7 +123,20 @@ def generate_population_files(
         af_values = rng.beta(0.5, 3.0, n_records)
         for r, pos in enumerate(positions):
             ref = _BASES[contig[pos]]
-            alt = _BASES[(contig[pos] + 1 + rng.integers(0, 3)) % 4]
+            if not snp_only and rng.random() < 0.10:
+                # canonical indels: 1MnD deletions / 1MnI insertions
+                if rng.random() < 0.5:
+                    dlen = int(rng.integers(1, 5))
+                    ref = "".join(
+                        _BASES[b] for b in contig[pos : pos + 1 + dlen]
+                    )
+                    alt = ref[0]
+                else:
+                    alt = ref + "".join(
+                        _BASES[int(b)] for b in rng.integers(0, 4, rng.integers(1, 5))
+                    )
+            else:
+                alt = _BASES[(contig[pos] + 1 + rng.integers(0, 3)) % 4]
             af = af_values[r]
             carriers = rng.random(n_samples) < af
             hom = rng.random(n_samples) < af

@@ -43,9 +43,11 @@ __all__ = [
     "GenomeCapture",
     "PopulationCapture",
     "BatchCapture",
+    "IndelBatchCapture",
     "fast_snp_capture",
     "capture_population",
     "capture_population_batch",
+    "capture_population_split",
     "batch_capture_tensors",
 ]
 
@@ -341,6 +343,243 @@ def capture_population_batch(
         host_genome_ids=host_ids,
         empty_genome_ids=empty_ids,
     )
+
+
+# --------------------------------------------------------------------------- #
+# General (SNP + indel) vectorized capture
+# --------------------------------------------------------------------------- #
+@dataclass
+class IndelBatchCapture:
+    """Device tensors for genomes whose selected set contains canonical
+    indels (1MnD/1MnI) satisfying the device preconditions: unique allele
+    per insert key, no upstream-delete shadow interactions, bounded insert
+    width. Slot kinds: 0 SNP / 1 DEL / 2 INS; positions are region-relative
+    insert offsets (indels at offset+1, the selection-map convention)."""
+
+    genome_ids: List[str]
+    pos: np.ndarray         # (B, K) int32
+    kind: np.ndarray        # (B, K) int8
+    del_len: np.ndarray     # (B, K) int32 (region-clamped)
+    ins_codes: np.ndarray   # (B, K, A) uint8
+    ins_len: np.ndarray     # (B, K) int32
+    alt_code: np.ndarray    # (B, K) uint8
+    valid: np.ndarray       # (B, K) bool (selected AND applied)
+    k_counts: np.ndarray        # selected variants per genome (incl. skipped apply)
+    hetero_counts: np.ndarray   # stats.total_snp_variants per genome
+    frameshift_counts: np.ndarray
+    edit_bound: int             # max per-genome edit-op total (band routing)
+    a_max: int
+
+
+def capture_population_split(
+    population: PopulationDB,
+    contig_id: str,
+    region: OpenRightInterval,
+    region_start: Optional[int] = None,
+    k_bucket: Optional[int] = None,
+    b_bucket: Optional[int] = None,
+    a_max: int = 16,
+) -> Tuple[BatchCapture, Optional[IndelBatchCapture]]:
+    """One vectorized pass splitting the population three ways for a
+    transcript: SNP-only genomes (fast step), canonical-indel genomes
+    (general device step) and host-exact genomes. The SequenceVariantFilter
+    remains the tested oracle; every precondition below routes to it on
+    violation (kgl_mutation/kgl_mutation_variant_filter.cpp:20-262)."""
+    if region_start is None:
+        region_start = region.lower
+    index = PopulationContigIndex.get(population, contig_id)
+    n_genomes = len(index.genome_ids)
+    arena = population.arena
+    empty_ids = [g for g, e in zip(index.genome_ids, index.empty_mask) if e]
+    L = region.upper - region.lower
+
+    lower = max(0, region.lower - CANONICAL_MARGIN)
+    lo = int(np.searchsorted(index.offset, lower, side="left"))
+    hi = int(np.searchsorted(index.offset, region.upper, side="left"))
+    g = index.gslot[lo:hi]
+    r = index.row[lo:hi]
+    o = index.offset[lo:hi]
+
+    rlen = arena.ref_lens[r].astype(np.int64)
+    alen = arena.alt_lens[r].astype(np.int64)
+    is_snp = (rlen == 1) & (alen == 1)
+    is_del = (alen == 1) & (rlen > 1)
+    is_ins = (rlen == 1) & (alen > 1)
+    canonical = is_snp | is_del | is_ins
+    too_wide = is_ins & (alen - 1 > a_max)
+
+    host_flag = np.zeros(n_genomes, dtype=bool)
+    bad = ~canonical | too_wide
+    if bad.any():
+        host_flag[np.unique(g[bad])] = True
+
+    # kind / sizes per incidence
+    kind_i = np.where(is_del, 1, np.where(is_ins, 2, 0)).astype(np.int8)
+    dsize = np.where(is_del, rlen - 1, 0)
+    isize = np.where(is_ins, alen - 1, 0)
+
+    # Region-modify check per kind (Variant::modifyInterval intersect).
+    snp_mod = is_snp & (o >= region.lower) & (o < region.upper)
+    del_mod = is_del & (o + 1 < region.upper) & (o + 1 + dsize > region.lower)
+    ins_mod = is_ins & (o + 1 < region.upper) & (o + 1 + isize > region.lower)
+    modifying = snp_mod | del_mod | ins_mod
+
+    gm = g[modifying]
+    rm = r[modifying]
+    km = kind_i[modifying]
+    # insert key: SNP at offset, indels at offset+1 (selection map).
+    key = (o + np.where(is_snp, 0, 1))[modifying]
+    order = np.lexsort((rm, key, gm))
+    gs, rs, ks, kys = gm[order], rm[order], km[order], key[order]
+
+    n = len(gs)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = (gs[1:] != gs[:-1]) | (rs[1:] != rs[:-1])
+    uidx = np.nonzero(first)[0]
+    counts = np.diff(np.append(uidx, n))
+    ug, ur, uk, ukey = gs[uidx], rs[uidx], ks[uidx], kys[uidx]
+
+    # conflict: two DISTINCT rows at one (genome, key) -> tie-break -> host
+    if len(ug) > 1:
+        conflict = (ug[1:] == ug[:-1]) & (ukey[1:] == ukey[:-1])
+        if conflict.any():
+            host_flag[np.unique(ug[1:][conflict])] = True
+
+    # upstream-delete shadow interaction -> host. Shadow of a delete is
+    # [key, key + dsize); any LATER variant whose member-interval lower
+    # (== its key) falls inside a running shadow needs the serial filter.
+    udel = arena.ref_lens[ur].astype(np.int64) - 1
+    shadow_end = np.where(uk == 1, ukey + udel, np.int64(-1))
+    if len(ug):
+        # segmented exclusive running max per genome
+        offset_base = ug.astype(np.int64) * np.int64(1 << 40)
+        run = np.maximum.accumulate(shadow_end + offset_base)
+        prev = np.empty_like(run)
+        prev[0] = np.int64(-1)
+        prev[1:] = run[:-1]
+        prev_shadow = prev - offset_base
+        # offset_base separates genomes by 2^40 >> any contig offset, so a
+        # genome's first entry sees a hugely negative prev_shadow — the
+        # running max can never leak across genomes.
+        shadowed = ukey < prev_shadow
+        if shadowed.any():
+            host_flag[np.unique(ug[shadowed])] = True
+
+    host_mask = host_flag & ~index.empty_mask
+    host_ids = [gid for gid, h in zip(index.genome_ids, host_mask) if h]
+
+    # which genomes carry at least one modifying indel
+    has_indel = np.zeros(n_genomes, dtype=bool)
+    indel_rows = uk != 0
+    if indel_rows.any():
+        has_indel[np.unique(ug[indel_rows])] = True
+
+    snp_mask = ~host_flag & ~index.empty_mask & ~has_indel
+    indel_mask = ~host_flag & ~index.empty_mask & has_indel
+
+    def _pack_group(mask: np.ndarray, with_indels: bool):
+        device_slots = np.nonzero(mask)[0]
+        ids = [index.genome_ids[s] for s in device_slots]
+        n_dev = len(device_slots)
+        dslot_of = np.full(n_genomes, -1, dtype=np.int64)
+        dslot_of[device_slots] = np.arange(n_dev)
+        keep = dslot_of[ug] >= 0
+        g2, r2, k2, key2, cnt2 = (
+            ug[keep], ur[keep], uk[keep], ukey[keep], counts[keep]
+        )
+        d2 = dslot_of[g2]
+        k_counts = np.bincount(d2, minlength=n_dev).astype(np.int32)
+        # hetero stats over modifying incidences: count==1 alleles
+        het = cnt2 == 1
+        snp2 = k2 == 0
+        hetero = np.bincount(d2[het & snp2], minlength=n_dev).astype(np.int32)
+        rl2 = arena.ref_lens[r2].astype(np.int64)
+        al2 = arena.alt_lens[r2].astype(np.int64)
+        fs = het & ~snp2 & ((np.abs(rl2 - al2) % 3) != 0)
+        frameshift = np.bincount(d2[fs], minlength=n_dev).astype(np.int32)
+        # NOTE: total_interval_variants counts ALL hetero (snp + indel)
+        hetero_all = np.bincount(d2[het], minlength=n_dev).astype(np.int32)
+        return (device_slots, ids, d2, g2, r2, k2, key2, k_counts,
+                hetero, hetero_all, frameshift, rl2, al2)
+
+    # ---- SNP-only batch (existing fast step shapes) ----------------------
+    (snp_slots, snp_ids, d2, _g2, r2, _k2, key2, k_counts, hetero, _ha, _fs,
+     _rl, _al) = _pack_group(snp_mask, False)
+    k_max = int(k_counts.max()) if len(k_counts) else 0
+    K = k_bucket if k_bucket is not None else max(8, _next_pow2(k_max))
+    B = b_bucket if b_bucket is not None else max(8, _next_pow2(len(snp_ids)))
+    if k_max > K or len(snp_ids) > B:
+        raise ValueError(
+            f"bucket too small: need ({len(snp_ids)},{k_max}), got ({B},{K})"
+        )
+    positions = np.zeros((B, K), dtype=np.int32)
+    alt_codes = np.zeros((B, K), dtype=np.uint8)
+    validm = np.zeros((B, K), dtype=bool)
+    if len(d2):
+        starts = np.searchsorted(d2, np.arange(len(snp_ids)))
+        rank = np.arange(len(d2)) - starts[d2]
+        positions[d2, rank] = (key2 - region_start).astype(np.int32)
+        alt_codes[d2, rank] = arena.alt_first[r2]
+        validm[d2, rank] = True
+    snp_batch = BatchCapture(
+        genome_ids=snp_ids, positions=positions, alt_codes=alt_codes,
+        valid=validm, k_counts=k_counts, hetero_counts=hetero,
+        host_genome_ids=host_ids, empty_genome_ids=empty_ids,
+    )
+
+    # ---- indel batch ------------------------------------------------------
+    if not indel_mask.any():
+        return snp_batch, None
+    (islots, iids, d2, _g2, r2, k2, key2, k_counts, het_snp, _het_all, fs,
+     rl2, al2) = _pack_group(indel_mask, True)
+    k_max = int(k_counts.max()) if len(k_counts) else 0
+    K2 = max(8, _next_pow2(k_max))
+    B2 = max(8, _next_pow2(len(iids)))
+    pos_t = np.zeros((B2, K2), dtype=np.int32)
+    kind_t = np.zeros((B2, K2), dtype=np.int8)
+    dlen_t = np.zeros((B2, K2), dtype=np.int32)
+    icodes_t = np.zeros((B2, K2, a_max), dtype=np.uint8)
+    ilen_t = np.zeros((B2, K2), dtype=np.int32)
+    alt_t = np.zeros((B2, K2), dtype=np.uint8)
+    valid_t = np.zeros((B2, K2), dtype=bool)
+    starts = np.searchsorted(d2, np.arange(len(iids)))
+    rank = np.arange(len(d2)) - starts[d2]
+    rel = (key2 - region_start).astype(np.int64)
+    # deletions: clamp upstream spans into the region (host pass-2 clamps)
+    dl = np.where(k2 == 1, rl2 - 1, 0)
+    dl_eff = np.where(k2 == 1, np.minimum(rel + dl, L) - np.maximum(rel, 0), 0)
+    pos_clamped = np.where(k2 == 1, np.maximum(rel, 0), rel)
+    applied = np.ones(len(d2), dtype=bool)
+    applied &= ~((k2 == 1) & (dl_eff <= 0))
+    applied &= ~((k2 == 2) & ((rel < 0) | (rel > L)))  # host skips these
+    pos_t[d2, rank] = pos_clamped.astype(np.int32)
+    kind_t[d2, rank] = k2
+    dlen_t[d2, rank] = np.maximum(dl_eff, 0).astype(np.int32)
+    alt_t[d2, rank] = arena.alt_first[r2]
+    valid_t[d2, rank] = applied
+    # insert codes: per unique INS row (arena-level, few) — drop the anchor
+    ins_sel = np.nonzero(k2 == 2)[0]
+    ilen2 = np.where(k2 == 2, al2 - 1, 0)
+    ilen_t[d2, rank] = ilen2.astype(np.int32)
+    for i in ins_sel.tolist():
+        codes = arena.alt_codes(int(r2[i]))[1:]
+        icodes_t[d2[i], rank[i], : len(codes)] = codes
+    edit_bound = 0
+    if len(d2):
+        per_g = np.bincount(
+            d2,
+            weights=np.where(k2 == 0, 1, np.where(k2 == 1, dl_eff, ilen2)),
+            minlength=len(iids),
+        )
+        edit_bound = int(per_g.max())
+    indel_batch = IndelBatchCapture(
+        genome_ids=iids, pos=pos_t, kind=kind_t, del_len=dlen_t,
+        ins_codes=icodes_t, ins_len=ilen_t, alt_code=alt_t, valid=valid_t,
+        k_counts=k_counts, hetero_counts=het_snp,
+        frameshift_counts=fs, edit_bound=edit_bound, a_max=a_max,
+    )
+    return snp_batch, indel_batch
 
 
 def batch_capture_tensors(

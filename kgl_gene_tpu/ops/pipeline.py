@@ -37,7 +37,13 @@ from ..sequence.tables import amino_translation_table
 from .edit_distance import _batched_levenshtein_impl
 from .variant_apply import apply_snp_batch, translate_batch
 
-__all__ = ["ForwardOutputs", "make_forward_step", "make_multichip_step"]
+__all__ = [
+    "ForwardOutputs",
+    "IndelForwardOutputs",
+    "make_forward_step",
+    "make_indel_forward_step",
+    "make_multichip_step",
+]
 
 
 class ForwardOutputs(NamedTuple):
@@ -159,6 +165,278 @@ def _forward(
     return ForwardOutputs(mutated_coding=coding, amino=amino, distance=distance,
                           allele_counts=allele_counts, valid_protein=valid_protein,
                           validity_code=validity_code)
+
+
+class IndelForwardOutputs(NamedTuple):
+    mutated_coding: jnp.ndarray  # (B, S_pad) coding codes, valid to coding_len
+    coding_len: jnp.ndarray      # (B,) int32 true coding length per genome
+    amino: jnp.ndarray           # (B, S_pad//3) amino codes (garbage past len)
+    distance: jnp.ndarray        # (B,) edit distance vs reference coding
+    validity_code: jnp.ndarray   # (B,) 0 valid/1 no-stop/2 nonsense/3 no-start/4 not-mod3
+
+
+def _forward_indel(
+    region: jnp.ndarray,          # (L,) reference region codes
+    exon_bounds: jnp.ndarray,     # (E, 2) int32 region-relative exon [lo, hi)
+    reverse_strand: bool,
+    pos: jnp.ndarray,             # (B, K) region-relative insert offsets
+    kind: jnp.ndarray,            # (B, K) 0 SNP / 1 DEL / 2 INS
+    del_len: jnp.ndarray,         # (B, K) effective deletion lengths (clamped)
+    ins_codes: jnp.ndarray,       # (B, K, A) inserted base codes (no anchor)
+    ins_len: jnp.ndarray,         # (B, K) inserted base counts
+    alt_code: jnp.ndarray,        # (B, K) SNP substitution codes
+    valid: jnp.ndarray,           # (B, K) slot validity
+    amino_lut: jnp.ndarray,
+    complement_lut: jnp.ndarray,
+    stop_code: int,
+    start_codes: jnp.ndarray,
+    pad_coding: int,              # static coding slack (>= K*A, multiple of 3)
+    band_k: int,                  # static: banded distance if >0, wavefront if 0
+    use_pallas: bool,
+) -> IndelForwardOutputs:
+    """The general variant-apply forward step: SNP/insert/delete cocktails
+    under FIXED shapes via prefix-summed length deltas (SURVEY.md section 7
+    hard part (a); reference semantics = AdjustedSequence + ModifiedOffsetMap,
+    kgl_mutation/kgl_mutation_sequence.h:26, kgl_mutation_translate.h:72).
+
+    Per genome: unit[p] = inserted-bases-before-p + kept(p); the exclusive
+    prefix sum of unit gives both every base's output slot and the
+    original->modified coordinate map m(x) the exon splice uses, exactly
+    the reference's cumulative-shift offset map.
+    """
+    B, K = pos.shape
+    A = ins_codes.shape[2]
+    L = region.shape[0]
+    exon_bounds = np.asarray(exon_bounds)
+    exon_lens_ref = [int(hi - lo) for lo, hi in exon_bounds]
+    S_ref = int(sum(exon_lens_ref))
+    S_pad = ((S_ref + pad_coding + 2) // 3) * 3  # translation needs mod-3 width
+    OOB = L + pad_coding + S_pad  # any index >= buffer size drops the scatter
+
+    pos = pos.astype(jnp.int32)
+    snp_m = valid & (kind == 0)
+    del_m = valid & (kind == 1)
+    ins_m = valid & (kind == 2)
+
+    # 1. SNPs in place (host pass 1).
+    base = jnp.broadcast_to(region.astype(jnp.uint8), (B, L))
+    snp_idx = jnp.where(snp_m, pos, OOB)
+    base = jax.vmap(lambda b, i, a: b.at[i].set(a, mode="drop"))(
+        base, snp_idx, alt_code.astype(jnp.uint8)
+    )
+
+    # 2. Deletion mask via +-1 markers and a cumulative sum (no-overlap
+    #    precondition enforced at capture).
+    del_start = jnp.where(del_m, pos, OOB)
+    del_end = jnp.where(del_m, jnp.minimum(pos + del_len, L), OOB)
+    marker = jnp.zeros((B, L + 1), jnp.int32)
+    marker = jax.vmap(lambda m, s: m.at[s].add(1, mode="drop"))(marker, del_start)
+    marker = jax.vmap(lambda m, e: m.at[e].add(-1, mode="drop"))(marker, del_end)
+    deleted = jnp.cumsum(marker[:, :L], axis=1) > 0
+    keep = (~deleted).astype(jnp.int32)
+
+    # 3. Insertions: bases inserted BEFORE original position p (p == L
+    #    appends at the region end, host rel == len(base) case).
+    ins_at = jnp.zeros((B, L + 1), jnp.int32)
+    ins_at = jax.vmap(lambda m, i, n: m.at[i].add(n, mode="drop"))(
+        ins_at, jnp.where(ins_m, pos, OOB), ins_len.astype(jnp.int32)
+    )
+
+    # unit[p] = ins_at[p] + keep[p] (keep[L] = 0); exclusive prefix sum.
+    unit = ins_at + jnp.pad(keep, ((0, 0), (0, 1)))
+    cum = jnp.cumsum(unit, axis=1) - unit  # exclusive
+    # m(x) for x in [0, L]: output offset of the bound at original x,
+    # AFTER insertions at x (ModifiedOffsetMap convention).
+    m_map = cum + ins_at
+    # base p lands at cum[p] + ins_at[p] when kept.
+    out_base_idx = jnp.where(keep[:, :L] > 0, m_map[:, :L], OOB)
+    out = jnp.full((B, L + pad_coding), 4, jnp.uint8)  # pad with N
+    out = jax.vmap(lambda o, i, v: o.at[i].set(v, mode="drop"))(
+        out, out_base_idx, base
+    )
+    # inserted bases at cum[pos] + j.
+    ins_start = jnp.take_along_axis(cum, jnp.where(ins_m, pos, L), axis=1)
+    for j in range(A):
+        idx = jnp.where(ins_m & (j < ins_len), ins_start + j, OOB)
+        out = jax.vmap(lambda o, i, v: o.at[i].set(v, mode="drop"))(
+            out, idx, ins_codes[:, :, j].astype(jnp.uint8)
+        )
+
+    # 4. Exon splice in modified coordinates: coding position c belongs to
+    #    exon e when cs_e <= c < cs_e + le_e; gather from the out buffer.
+    c_idx = jnp.arange(S_pad, dtype=jnp.int32)[None, :]  # (1, S_pad)
+    gather_idx = jnp.zeros((B, S_pad), jnp.int32)
+    in_any = jnp.zeros((B, S_pad), bool)
+    cs = jnp.zeros((B, 1), jnp.int32)
+    for e, (lo, hi) in enumerate(exon_bounds):
+        mlo = m_map[:, int(lo)][:, None]
+        mhi = m_map[:, int(hi)][:, None]
+        le = mhi - mlo
+        sel = (c_idx >= cs) & (c_idx < cs + le)
+        gather_idx = jnp.where(sel, mlo + (c_idx - cs), gather_idx)
+        in_any = in_any | sel
+        cs = cs + le
+    coding_len = cs[:, 0]
+    coding = jnp.take_along_axis(
+        out, jnp.clip(gather_idx, 0, L + pad_coding - 1), axis=1
+    )
+    coding = jnp.where(in_any, coding, 4)
+    if reverse_strand:
+        rev_idx = jnp.clip(coding_len[:, None] - 1 - c_idx, 0, S_pad - 1)
+        coding = jnp.where(
+            c_idx < coding_len[:, None],
+            complement_lut[jnp.take_along_axis(coding, rev_idx, axis=1)],
+            4,
+        )
+
+    # 5. Translation + validity with per-genome lengths.
+    if use_pallas:
+        from .variant_apply import translate_batch_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        amino = translate_batch_pallas(coding, amino_lut, interpret=interpret)
+    else:
+        from .variant_apply import translate_batch
+
+        amino = translate_batch(coding, amino_lut)
+    n_amino = coding_len // 3
+    M = amino.shape[1]
+    a_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+    is_stop = amino == stop_code
+    starts_ok = jnp.isin(amino[:, 0], start_codes) & (n_amino > 0)
+    last_amino = jnp.take_along_axis(
+        amino, jnp.clip(n_amino[:, None] - 1, 0, M - 1), axis=1
+    )[:, 0]
+    ends_ok = (last_amino == stop_code) & (n_amino > 0)
+    internal_stops = jnp.sum(is_stop & (a_idx < n_amino[:, None] - 1), axis=1)
+    validity_code = jnp.maximum(
+        jnp.maximum(
+            (~ends_ok).astype(jnp.int32),
+            2 * (internal_stops > 0).astype(jnp.int32),
+        ),
+        3 * (~starts_ok).astype(jnp.int32),
+    )
+    validity_code = jnp.where(coding_len % 3 != 0, 4, validity_code)
+
+    # 6. Distance vs the (uniform-length) reference coding sequence.
+    ref_coding = _splice_slices(
+        region[None, :], jnp.asarray(exon_bounds[:, 0], jnp.int32),
+        tuple(exon_lens_ref),
+    )
+    if reverse_strand:
+        ref_coding = complement_lut[ref_coding[:, ::-1]]
+    ref_b = jnp.broadcast_to(ref_coding, (B, S_ref)).astype(jnp.int32)
+    len_ref = jnp.full((B,), S_ref, jnp.int32)
+    if use_pallas and band_k > 0:
+        from .pallas_banded import B_LEAD, _banded_call
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        Mx = max(S_pad, S_ref)
+        band_w = ((2 * band_k + 1 + 127) // 128) * 128
+        win_w = band_w + 256
+        Wa = ((Mx + 127) // 128) * 128
+        block_b = 32
+        Bp = ((B + block_b - 1) // block_b) * block_b
+        a_p = jnp.zeros((Bp, Wa), jnp.int32).at[:B, :S_pad].set(
+            coding.astype(jnp.int32)
+        )
+        b_buf = jnp.full((Bp, B_LEAD + Wa + win_w), -1, jnp.int32).at[
+            :B, B_LEAD : B_LEAD + S_ref
+        ].set(ref_b)
+        la = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(coding_len[:, None])
+        lb = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S_ref)
+        distance = _banded_call(
+            a_p, b_buf, la, lb, max_len=Mx, band_k=band_k, block_b=block_b,
+            interpret=interpret,
+        )[:B, 0]
+    elif use_pallas:
+        from .pallas_edit_distance import BLOCK_B, _pallas_call
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        Mx = max(S_pad, S_ref)
+        W = ((Mx + 1 + 127) // 128) * 128
+        Bp = ((B + BLOCK_B - 1) // BLOCK_B) * BLOCK_B
+        a_p = jnp.zeros((Bp, W), jnp.int32).at[:B, :S_pad].set(
+            coding.astype(jnp.int32)
+        )
+        b_rev = jnp.zeros((Bp, W), jnp.int32).at[:B, :S_ref].set(ref_b)[:, ::-1]
+        la = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(coding_len[:, None])
+        lb = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S_ref)
+        distance = _pallas_call(
+            a_p, b_rev, la, lb, max_len=Mx, interpret=interpret
+        )[:B, 0]
+    else:
+        distance = _batched_levenshtein_impl(
+            coding.astype(jnp.int32), coding_len, ref_b, len_ref, S_pad, S_ref
+        )
+
+    return IndelForwardOutputs(
+        mutated_coding=coding, coding_len=coding_len, amino=amino,
+        distance=distance, validity_code=validity_code,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "reverse_strand", "stop_code", "pad_coding", "band_k", "use_pallas",
+        "exon_bounds_key",
+    ),
+)
+def _forward_indel_jit(
+    region, pos, kind, del_len, ins_codes, ins_len, alt_code, valid,
+    amino_lut, complement_lut, start_codes,
+    *, exon_bounds_key, reverse_strand, stop_code, pad_coding, band_k,
+    use_pallas,
+):
+    exon_bounds = np.asarray(exon_bounds_key, dtype=np.int64)
+    return _forward_indel(
+        region, exon_bounds, reverse_strand, pos, kind, del_len, ins_codes,
+        ins_len, alt_code, valid, amino_lut, complement_lut, stop_code,
+        start_codes, pad_coding, band_k, use_pallas,
+    )
+
+
+def make_indel_forward_step(
+    region_codes: np.ndarray,
+    exon_intervals: np.ndarray,
+    region_start: int,
+    reverse_strand: bool = False,
+    table_name: str = "NCBI_TABLE_1",
+    use_pallas: bool = False,
+    pad_coding: int = 0,
+    band_k: int = 0,
+):
+    """Jitted general (SNP+indel) forward step closed over the transcript
+    geometry. step(pos, kind, del_len, ins_codes, ins_len, alt_code, valid)
+    -> IndelForwardOutputs. pad_coding is the static coding slack (rounded
+    up to a multiple of 3)."""
+    from ..sequence.alphabet import AminoAcid
+
+    table = amino_translation_table(table_name)
+    exon_intervals = np.asarray(exon_intervals, dtype=np.int64)
+    exon_bounds = tuple(
+        (int(lo - region_start), int(hi - region_start))
+        for lo, hi in exon_intervals
+    )
+    region = jnp.asarray(region_codes, dtype=jnp.uint8)
+    amino_lut = jnp.asarray(table.amino_lut, dtype=jnp.uint8)
+    complement_lut = jnp.asarray(DNA5.COMPLEMENT, dtype=jnp.uint8)
+    start_codes = jnp.asarray(
+        np.unique(table.amino_lut[table.start_lut]), dtype=jnp.uint8
+    )
+    pad_coding = ((max(pad_coding, 3) + 2) // 3) * 3
+
+    def step(pos, kind, del_len, ins_codes, ins_len, alt_code, valid):
+        return _forward_indel_jit(
+            region, pos, kind, del_len, ins_codes, ins_len, alt_code, valid,
+            amino_lut, complement_lut, start_codes,
+            exon_bounds_key=exon_bounds, reverse_strand=reverse_strand,
+            stop_code=AminoAcid.STOP, pad_coding=pad_coding, band_k=band_k,
+            use_pallas=use_pallas,
+        )
+
+    return step
 
 
 @functools.partial(
