@@ -151,6 +151,112 @@ def bench_end_to_end(jax, tmp):
     return n_records / elapsed
 
 
+def bench_phylo(jax):
+    """Device-resident MCMC (vmapped heated chains, phylo/vmapped.py) at a
+    kpl-scale workload: 16 taxa x 10,000 sites, 4 chains in ONE device
+    program. Reported as cold-chain iterations/s, with the host
+    object-sampler (phylo/mcmc.py Chain, numpy likelihood per proposal) as
+    the denominator — the reference's BeagleLib-vs-host equivalent."""
+    import random
+
+    from kgl_gene_tpu.phylo.mcmc import Chain, ChainState
+    from kgl_gene_tpu.phylo.model import SubstitutionModel
+    from kgl_gene_tpu.phylo.tree import random_tree
+    from kgl_gene_tpu.phylo.vmapped import VmappedChains
+
+    rng = np.random.default_rng(7)
+    n_taxa, n_sites = 16, 10_000
+    tree = random_tree([f"T{i}" for i in range(n_taxa)], random.Random(7))
+    aln = rng.integers(0, 4, size=(n_taxa, n_sites)).astype(np.uint8)
+
+    chains = VmappedChains(tree, aln, n_chains=4)
+    chains.run(4)  # compile + warm
+    iters = 200
+    start = time.perf_counter()
+    trace = chains.run(iters)
+    device_elapsed = time.perf_counter() - start
+    assert trace.shape[0] == iters
+    device_rate = iters / device_elapsed
+
+    model = SubstitutionModel(np.ones(6), np.full(4, 0.25), 1.0, 1, 0.0)
+    host_chain = Chain(
+        aln, ChainState(tree.copy(), model), rng=random.Random(1),
+        updaters=("branch_length", "tree_length", "state_freq",
+                  "exchangeability"),
+        fixed_topology=True,
+    )
+    host_iters = 3
+    start = time.perf_counter()
+    for _ in range(host_iters):
+        host_chain.next_step()
+    host_elapsed = time.perf_counter() - start
+    host_rate = host_iters / host_elapsed
+    return device_rate, device_rate / host_rate
+
+
+def bench_scale(jax):
+    """Population-scale ingest + statistics: 10^6 records x 10^3 samples
+    (a ~13 GB Pf-diploid VCF, cached under .scale_cache across runs)
+    through the chunked native ingest -> VariantMajorCSR -> allele
+    frequencies + device inbreeding on a thinned locus panel. Returns the
+    scale sub-record for the bench JSON (None when disabled via
+    KGT_SCALE_SKIP=1). Memory stays bounded: the ingest is chunk-streamed
+    and the assertion below caps the resident set."""
+    if os.environ.get("KGT_SCALE_SKIP"):
+        return None
+    import resource
+
+    from kgl_gene_tpu.io.synthetic import generate_scale_vcf
+    from kgl_gene_tpu.io.vcf import parse_vcf_population
+    from kgl_gene_tpu.parallel.mesh import sample_mesh, sharded_inbreeding
+    from kgl_gene_tpu.variant.columnar import VariantMajorCSR
+
+    n_records = int(os.environ.get("KGT_SCALE_RECORDS", 1_000_000))
+    n_samples = int(os.environ.get("KGT_SCALE_SAMPLES", 1_000))
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".scale_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"scale_{n_records}_{n_samples}.vcf")
+    if not os.path.isfile(path):
+        generate_scale_vcf(path + ".tmp", n_records, n_samples)
+        os.replace(path + ".tmp", path)
+    size_mb = os.path.getsize(path) / 1e6
+
+    start = time.perf_counter()
+    pop, _header, _info = parse_vcf_population(path, "scale", "PF_DIPLOID",
+                                               subscribed_info=["AF"])
+    ingest_s = time.perf_counter() - start
+    start = time.perf_counter()
+    csr = VariantMajorCSR(pop)
+    af = csr.allele_frequencies()
+    het, hom = csr.het_hom_by_genome()
+    # Device inbreeding over a dense variant window (chunked CSR export).
+    informative = np.nonzero((af > 0.01) & (af < 0.99))[0]
+    f_hat = None
+    if len(informative):
+        v_lo = int(informative[0])
+        v_hi = min(v_lo + 120_000, int(informative[-1]) + 1)
+        z = csr.dense_block(v_lo, v_hi)  # (G, window)
+        mesh = sample_mesh(len(jax.devices()))
+        f_hat = sharded_inbreeding(z, af[v_lo:v_hi], mesh, algorithm="Simple")
+    stats_s = time.perf_counter() - start
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    assert rss_gb < 48.0, f"scale ingest RSS {rss_gb:.1f} GB exceeds cap"
+    assert pop.genome_count() == n_samples
+    return {
+        "records": n_records,
+        "samples": n_samples,
+        "vcf_mb": round(size_mb, 1),
+        "incidences": int(csr.nnz),
+        "ingest_s": round(ingest_s, 2),
+        "ingest_mb_per_s": round(size_mb / ingest_s, 1),
+        "ingest_cells_per_s": round(n_records * n_samples / ingest_s, 0),
+        "stats_s": round(stats_s, 2),
+        "mean_inbreeding_f": None if f_hat is None else round(float(np.nanmean(f_hat)), 4),
+        "rss_gb": round(rss_gb, 2),
+    }
+
+
 def main():
     import jax
 
@@ -163,6 +269,8 @@ def main():
     allpairs_gcups, pairs_per_s = bench_allpairs(jax, mutants)
     with tempfile.TemporaryDirectory() as tmp:
         e2e_genomes_per_s = bench_end_to_end(jax, tmp)
+    phylo_iters_per_s, phylo_vs_host = bench_phylo(jax)
+    scale = bench_scale(jax)
 
     cpu_baseline_genomes_per_s = 5.0  # 100-thread edlib-class estimate (docstring)
     result = {
@@ -174,6 +282,9 @@ def main():
         "allpairs_gcups": round(allpairs_gcups, 3),
         "allpairs_pairs_per_s": round(pairs_per_s, 1),
         "e2e_genomes_per_s": round(e2e_genomes_per_s, 3),
+        "phylo_iters_per_s": round(phylo_iters_per_s, 2),
+        "phylo_vs_host_sampler": round(phylo_vs_host, 1),
+        "scale": scale,
         "batch": batch,
         "coding_bases": cod,
         "device": str(jax.devices()[0]),

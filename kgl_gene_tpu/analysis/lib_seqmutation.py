@@ -617,11 +617,17 @@ class MutateGenes:
 
 class TranscriptFamilyAnalysis:
     """Per-transcript-family distance statistics and UPGMA trees
-    (AnalysisTranscriptFamily / GenomeTranscriptAnalysis)."""
+    (AnalysisTranscriptFamily / GenomeTranscriptAnalysis).
 
-    def __init__(self, records: List[TranscriptMutateRecord], reference_coding: str):
+    metric: "global" (NW, the default) or "local" (infix / edlib HW mode,
+    the Pf gene-family metric — kga_analysis_lib_Pfgene.cpp consumes
+    LevenshteinLocalCodingView, kgl_sequence_distance_impl.h:49-122)."""
+
+    def __init__(self, records: List[TranscriptMutateRecord],
+                 reference_coding: str, metric: str = "global"):
         self.records = records
         self.reference_coding = reference_coding
+        self.metric = metric
 
     def distinct_sequences(self) -> Dict[str, List[str]]:
         """Modified sequence -> genomes carrying it (sequence dedup records,
@@ -644,9 +650,12 @@ class TranscriptFamilyAnalysis:
         return seqs, lens
 
     def reference_distances(self) -> Dict[str, int]:
-        """Levenshtein of each distinct mutant vs the reference coding
-        (batched device kernel)."""
-        from ..ops.edit_distance import batched_levenshtein
+        """Distance of each distinct mutant vs the reference coding
+        (batched device kernel; global NW or local infix per self.metric)."""
+        from ..ops.edit_distance import (
+            batched_levenshtein,
+            batched_levenshtein_local,
+        )
 
         distinct = list(self.distinct_sequences())
         if not distinct:
@@ -656,9 +665,11 @@ class TranscriptFamilyAnalysis:
         n = len(distinct)
         ref_seq = np.repeat(seqs[-1:], n, axis=0)
         ref_len = np.repeat(lens[-1:], n)
-        distances = np.asarray(
-            batched_levenshtein(seqs[:n], lens[:n], ref_seq, ref_len)
+        kernel = (
+            batched_levenshtein_local if self.metric == "local"
+            else batched_levenshtein
         )
+        distances = np.asarray(kernel(seqs[:n], lens[:n], ref_seq, ref_len))
         return dict(zip(distinct, distances.tolist()))
 
     def distance_tree_newick(self, max_leaves: int = 256) -> str:
@@ -673,14 +684,28 @@ class TranscriptFamilyAnalysis:
         if len(sequences) < 2:
             return f"({labels[0] if labels else 'reference'}:0);"
         seqs, lens = self._padded_codes(sequences)
-        # On the chip, route through the device-resident banded pair pool
-        # (ops/edit_distance band_k path): transcript-family members differ
-        # by bounded edit counts, and pairs that overflow the band re-run
-        # through the exact adaptive path, so this is a pure routing choice.
-        import jax
+        if self.metric == "local":
+            # all-pairs infix distance through the batched local kernel
+            from ..ops.edit_distance import batched_levenshtein_local
 
-        band_k = 127 if jax.default_backend() in ("tpu", "axon") else None
-        matrix = pairwise_distance_matrix(seqs, lens, band_k=band_k)
+            n = len(sequences)
+            iu, ju = np.triu_indices(n, k=1)
+            d = np.asarray(
+                batched_levenshtein_local(seqs[iu], lens[iu], seqs[ju], lens[ju])
+            )
+            matrix = np.zeros((n, n), dtype=np.float64)
+            matrix[iu, ju] = d
+            matrix[ju, iu] = d
+        else:
+            # On the chip, route through the device-resident banded pair
+            # pool (ops/edit_distance band_k path): transcript-family
+            # members differ by bounded edit counts, and pairs overflowing
+            # the band re-run through the exact adaptive path, so this is
+            # a pure routing choice.
+            import jax
+
+            band_k = 127 if jax.default_backend() in ("tpu", "axon") else None
+            matrix = pairwise_distance_matrix(seqs, lens, band_k=band_k)
         tree = upgma_tree(matrix, labels)
         return newick(tree)
 

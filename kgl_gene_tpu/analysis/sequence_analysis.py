@@ -43,6 +43,7 @@ class SequenceAnalysis(VirtualAnalysis):
         self.genome_reference = None
         self.gene_list: List[str] = []
         self.filter_type = SeqVariantFilterType.DEFAULT_SEQ_FILTER
+        self.distance_metric = "global"  # GLOBAL (NW) | LOCAL (infix/HW)
         self.reports: List[str] = []
 
     def initialize_analysis(self, work_directory, parameters, resources) -> bool:
@@ -58,6 +59,9 @@ class SequenceAnalysis(VirtualAnalysis):
             filter_name = block.value("FilterType")
             if filter_name and filter_name.upper() in _FILTER_TYPES:
                 self.filter_type = _FILTER_TYPES[filter_name.upper()]
+            metric = block.value("DistanceMetric")
+            if metric and metric.upper() in ("GLOBAL", "LOCAL"):
+                self.distance_metric = metric.lower()
         return True
 
     def _target_transcripts(self):
@@ -80,7 +84,8 @@ class SequenceAnalysis(VirtualAnalysis):
                 stats.total_variants, stats.valid_proteins,
             )
             family = TranscriptFamilyAnalysis(
-                records, contig.coding_sequence(transcript).to_string()
+                records, contig.coding_sequence(transcript).to_string(),
+                metric=self.distance_metric,
             )
             base = os.path.join(
                 self.work_directory,

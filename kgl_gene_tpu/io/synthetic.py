@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["SyntheticPaths", "generate_population_files"]
+__all__ = ["SyntheticPaths", "generate_population_files", "generate_scale_vcf"]
 
 _BASES = "ACGT"
 
@@ -158,3 +158,66 @@ def generate_population_files(
         contig_len=contig_len, n_genes=n_genes, n_samples=n_samples,
         n_records=n_records,
     )
+
+
+def generate_scale_vcf(
+    path: str,
+    n_records: int = 1_000_000,
+    n_samples: int = 1_000,
+    contig_id: str = "chr_scale",
+    seed: int = 11,
+    chunk_rows: int = 20_000,
+) -> str:
+    """gnomAD-scale synthetic Pf-diploid VCF written at byte level.
+
+    Fixed-width genotype cells (GT:AD:DP, 12 chars) let the whole genotype
+    block assemble as one numpy gather per chunk, so a 10^6-record x 10^3
+    sample file (~13 GB) writes in about a minute. Allele frequencies are
+    beta-distributed per record; carriers split het/hom so zygosity
+    summaries and inbreeding estimates are non-trivial.
+    """
+    rng = np.random.default_rng(seed)
+    # cells: index 0 = non-carrier, 1 = het, 2 = hom (two incidences).
+    pool = np.frombuffer(
+        b"\t0/0:30,00:31" b"\t0/1:12,18:30" b"\t1/1:00,28:28", dtype=np.uint8
+    ).reshape(3, 13)
+    with open(path, "wb") as f:
+        f.write(b"##fileformat=VCFv4.2\n")
+        f.write(f"##contig=<ID={contig_id},length=500000000>\n".encode())
+        f.write(b'##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n')
+        f.write(b'##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">\n')
+        f.write(b'##FORMAT=<ID=AD,Number=R,Type=Integer,Description="ad">\n')
+        f.write(b'##FORMAT=<ID=DP,Number=1,Type=Integer,Description="dp">\n')
+        samples = "\t".join(f"S{i:05d}" for i in range(n_samples))
+        f.write(
+            ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + samples + "\n").encode()
+        )
+        pos = 0
+        bases = "ACGT"
+        for start in range(0, n_records, chunk_rows):
+            rows = min(chunk_rows, n_records - start)
+            af = rng.beta(0.3, 6.0, rows)
+            p_het = 2.0 * af * (1.0 - af)
+            p_hom = af * af
+            t1 = (255 * p_het).astype(np.uint8)[:, None]
+            t2 = (255 * (p_het + p_hom)).astype(np.uint8)[:, None]
+            u = rng.integers(0, 256, size=(rows, n_samples), dtype=np.uint16)
+            idx = np.zeros((rows, n_samples), dtype=np.uint8)
+            idx[u < t2] = 2
+            idx[u < t1] = 1
+            cells = pool[idx].reshape(rows, -1)
+            parts = []
+            for r in range(rows):
+                rec = start + r
+                pos += 1 + (rec % 7)
+                ref = bases[rec % 4]
+                alt = bases[(rec + 1 + rec % 3) % 4]
+                parts.append(
+                    f"{contig_id}\t{pos}\trs{rec}\t{ref}\t{alt}\t99\tPASS\t"
+                    f"AF={af[r]:.4f}\tGT:AD:DP".encode()
+                )
+                parts.append(cells[r].tobytes())
+                parts.append(b"\n")
+            f.write(b"".join(parts))
+    return path

@@ -22,7 +22,9 @@ import numpy as np
 
 __all__ = [
     "levenshtein_numpy",
+    "levenshtein_local_numpy",
     "batched_levenshtein",
+    "batched_levenshtein_local",
     "pairwise_distance_matrix",
 ]
 
@@ -51,6 +53,115 @@ def levenshtein_numpy(a: np.ndarray, b: np.ndarray) -> int:
         np.minimum(prev[1:] + 1, prev[:-1] + cost, out=base[1:])
         prev = np.minimum.accumulate(base - js) + js
     return int(prev[n])
+
+
+def _hw_distance_numpy(query: np.ndarray, target: np.ndarray) -> int:
+    """Infix (edlib HW-mode) distance: best edit distance of `query`
+    against ANY substring of `target` (gaps at the target's ends are
+    free). Row DP with D[0][j] = 0, answer = min over the final row."""
+    query = np.asarray(query)
+    target = np.asarray(target)
+    m, n = len(query), len(target)
+    if m == 0:
+        return 0
+    js = np.arange(n + 1, dtype=np.int32)
+    prev = np.zeros(n + 1, dtype=np.int32)
+    base = np.empty(n + 1, dtype=np.int32)
+    for i in range(1, m + 1):
+        cost = (target != query[i - 1]).astype(np.int32)
+        base[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=base[1:])
+        prev = np.minimum.accumulate(base - js) + js
+    return int(prev.min())
+
+
+def levenshtein_local_numpy(a: np.ndarray, b: np.ndarray) -> int:
+    """Local (infix) Levenshtein, symmetric: the SHORTER sequence is the
+    query, matching the reference metric exactly
+    (kgl_classification/kgl_sequence_distance_impl.cpp:46-76, edlib
+    EDLIB_MODE_HW with the smaller sequence presented first)."""
+    if len(a) <= len(b):
+        return _hw_distance_numpy(a, b)
+    return _hw_distance_numpy(b, a)
+
+
+@functools.partial(jax.jit, static_argnames=("max_len_q", "max_len_t"))
+def _batched_local_impl(
+    seq_q: jnp.ndarray,  # (B, Mq) query codes, padded
+    len_q: jnp.ndarray,  # (B,)
+    seq_t: jnp.ndarray,  # (B, Mt) target codes, padded
+    len_t: jnp.ndarray,  # (B,)
+    max_len_q: int,
+    max_len_t: int,
+) -> jnp.ndarray:
+    """Batched infix (HW) distance: row DP over query characters with the
+    in-row insertion chain resolved by an associative min-scan over target
+    lanes (the TPU-vectorized form of edlib's HW mode)."""
+    B = seq_q.shape[0]
+    Mq, Mt = max_len_q, max_len_t
+    BIG = jnp.int32(Mq + Mt + 1)
+    q = seq_q.astype(jnp.int32)
+    t = seq_t.astype(jnp.int32)
+    j_idx = jnp.arange(Mt + 1, dtype=jnp.int32)[None, :]  # (1, Mt+1)
+    lane_valid = j_idx <= len_t[:, None]
+
+    prev0 = jnp.zeros((B, Mt + 1), jnp.int32) + (
+        jnp.sum(q[:, :1] * 0, axis=1) + jnp.sum(t[:, :1] * 0, axis=1)
+        + len_q * 0 + len_t * 0
+    )[:, None]
+    # len_q == 0: distance 0 (empty query matches the empty substring).
+    result0 = jnp.where(len_q == 0, 0, BIG)
+
+    def step(carry, i):
+        prev, result = carry
+        qi = jax.lax.dynamic_slice_in_dim(q, i - 1, 1, axis=1)  # (B, 1)
+        cost = (t != qi).astype(jnp.int32)  # (B, Mt) lanes j=1..Mt
+        up = prev[:, 1:] + 1
+        diag = prev[:, :-1] + cost
+        base = jnp.minimum(up, diag)
+        base = jnp.concatenate(
+            [jnp.full((B, 1), i, jnp.int32), base], axis=1
+        )  # D[i][0] = i
+        g = base - j_idx
+        g = jax.lax.associative_scan(jnp.minimum, g, axis=1)
+        cur = g + j_idx
+        row_min = jnp.min(jnp.where(lane_valid, cur, BIG), axis=1)
+        result = jnp.where(len_q == i, row_min, result)
+        return (cur, result), None
+
+    (prev, result), _ = jax.lax.scan(
+        step, (prev0, result0), jnp.arange(1, Mq + 1, dtype=jnp.int32)
+    )
+    return result
+
+
+def batched_levenshtein_local(
+    seq_a: np.ndarray, len_a: np.ndarray, seq_b: np.ndarray, len_b: np.ndarray,
+) -> np.ndarray:
+    """Batched symmetric local (infix) distance: per pair, the shorter
+    sequence takes the query role (reference symmetrization)."""
+    seq_a = np.asarray(seq_a)
+    seq_b = np.asarray(seq_b)
+    len_a = np.asarray(len_a, dtype=np.int32)
+    len_b = np.asarray(len_b, dtype=np.int32)
+    swap = len_a > len_b
+    Mq = max(seq_a.shape[1], seq_b.shape[1])
+    q = np.where(swap[:, None], _pad_to(seq_b, Mq), _pad_to(seq_a, Mq))
+    t = np.where(swap[:, None], _pad_to(seq_a, Mq), _pad_to(seq_b, Mq))
+    lq = np.where(swap, len_b, len_a)
+    lt = np.where(swap, len_a, len_b)
+    return np.asarray(
+        _batched_local_impl(jnp.asarray(q), jnp.asarray(lq), jnp.asarray(t),
+                            jnp.asarray(lt), Mq, Mq)
+    )
+
+
+def _pad_to(seqs: np.ndarray, width: int) -> np.ndarray:
+    if seqs.shape[1] == width:
+        return seqs
+    out = np.zeros((seqs.shape[0], width), dtype=seqs.dtype)
+    out[:, : seqs.shape[1]] = seqs
+    return out
 
 
 # --------------------------------------------------------------------------- #

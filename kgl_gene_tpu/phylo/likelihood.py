@@ -24,7 +24,12 @@ import numpy as np
 from .model import SubstitutionModel
 from .tree import PhyloTree
 
-__all__ = ["leaf_partials", "log_likelihood", "TreeLikelihood"]
+__all__ = [
+    "leaf_partials",
+    "log_likelihood",
+    "TreeLikelihood",
+    "CachedPartialsLikelihood",
+]
 
 N_STATES = 4
 # DNA5 code -> observed-state likelihood row; N (code 4) = all ones.
@@ -166,3 +171,227 @@ class TreeLikelihood:
                 jnp.asarray(model.p_invariant), jnp.asarray(constant),
             )
         )
+
+
+class CachedPartialsLikelihood:
+    """Incremental (Beagle-style) device likelihood for the MCMC hot path:
+    per-node partials are CACHED on device and a branch-length proposal
+    recomputes only the changed node -> root path; full recomputation
+    happens only when the topology or the substitution-model parameters
+    change (kpl_phylogenetic/kpl_likelihood.h:43-105, kpl_mcmc_chain.h:66-71).
+
+    Usage (Chain wires this automatically when given as `backend`):
+        ll = backend.loglike(tree, model, changed_node_index=i)  # proposal
+        backend.on_accept() / backend.on_reject()
+    """
+
+    def __init__(self, alignment_codes: np.ndarray, n_rate_categories: int = 1):
+        self._codes = alignment_codes
+        self.n_rates = n_rate_categories
+        self.n_sites = alignment_codes.shape[1]
+        self.tips = jnp.asarray(leaf_partials(alignment_codes))
+        self.n_leaves = alignment_codes.shape[0]
+        self._committed = None  # (topo_key, model_key, arrays, partials, child_P, k_of_node)
+        self._pending = None
+        self._jit_full_cache: Dict[Tuple, object] = {}
+        self._jit_path_cache: Dict[Tuple, object] = {}
+        self.full_evals = 0
+        self.path_evals = 0
+
+    # -- keys ---------------------------------------------------------------
+    @staticmethod
+    def _topo_key(arrays) -> Tuple:
+        return (
+            arrays["child_index"].tobytes(), arrays["internal_index"].tobytes(),
+            int(arrays["root_index"]),
+        )
+
+    @staticmethod
+    def _model_key(model) -> Tuple:
+        ex = getattr(model, "exchangeabilities", None)
+        return (
+            None if ex is None else np.asarray(ex).tobytes(),
+            np.asarray(model.frequencies).tobytes(),
+            float(getattr(model, "gamma_shape", 0.0)),
+            int(getattr(model, "n_rate_categories", 1)),
+            float(getattr(model, "p_invariant", 0.0)),
+            float(getattr(model, "kappa", 0.0) or 0.0)
+            if hasattr(model, "kappa") else 0.0,
+        )
+
+    # -- jitted programs (cached per topology shape) ------------------------
+    def _full_fn(self, n_nodes, n_int, max_children):
+        key = ("full", n_nodes, n_int, max_children)
+        fn = self._jit_full_cache.get(key)
+        if fn is None:
+
+            @jax.jit
+            def _full(child_index, internal_index, root_index, child_P,
+                      frequencies, rate_weights, p_invariant, constant_like):
+                partials = jnp.ones(
+                    (n_nodes, self.n_rates, self.n_sites, N_STATES)
+                )
+                partials = partials.at[: self.n_leaves].set(
+                    jnp.broadcast_to(
+                        self.tips[:, None, :, :],
+                        (self.n_leaves, self.n_rates, self.n_sites, N_STATES),
+                    )
+                )
+
+                def step(partials, k):
+                    acc = jnp.ones((self.n_rates, self.n_sites, N_STATES))
+                    for c in range(max_children):
+                        child = child_index[k, c]
+                        valid = child >= 0
+                        cp = partials[jnp.maximum(child, 0)]
+                        lifted = jnp.einsum("rij,rsj->rsi", child_P[k, c], cp)
+                        acc = acc * jnp.where(valid, lifted, 1.0)
+                    partials = partials.at[internal_index[k]].set(acc)
+                    return partials, 0
+
+                partials, _ = jax.lax.scan(step, partials, jnp.arange(n_int))
+                ll = _root_loglike(
+                    partials[root_index], frequencies, rate_weights,
+                    p_invariant, constant_like,
+                )
+                return partials, ll
+
+            fn = self._jit_full_cache[key] = _full
+        return fn
+
+    def _path_fn(self, n_int, max_children, depth):
+        key = ("path", n_int, max_children, depth)
+        fn = self._jit_path_cache.get(key)
+        if fn is None:
+
+            @jax.jit
+            def _path(partials, child_index, internal_index, root_index,
+                      child_P, path_ks, frequencies, rate_weights,
+                      p_invariant, constant_like):
+                def step(partials, k):
+                    live = k >= 0
+                    ks = jnp.maximum(k, 0)
+                    acc = jnp.ones((self.n_rates, self.n_sites, N_STATES))
+                    for c in range(max_children):
+                        child = child_index[ks, c]
+                        valid = child >= 0
+                        cp = partials[jnp.maximum(child, 0)]
+                        lifted = jnp.einsum("rij,rsj->rsi", child_P[ks, c], cp)
+                        acc = acc * jnp.where(valid, lifted, 1.0)
+                    node = jnp.where(live, internal_index[ks], 0)
+                    new_row = jnp.where(live, acc, partials[node])
+                    partials = partials.at[node].set(new_row)
+                    return partials, 0
+
+                partials, _ = jax.lax.scan(step, partials, path_ks)
+                ll = _root_loglike(
+                    partials[root_index], frequencies, rate_weights,
+                    p_invariant, constant_like,
+                )
+                return partials, ll
+
+            fn = self._jit_path_cache[key] = _path
+        return fn
+
+    # -- API ----------------------------------------------------------------
+    def loglike(self, tree: PhyloTree, model, changed_node_index=None) -> float:
+        arrays = tree.traversal_arrays()
+        topo_key = self._topo_key(arrays)
+        model_key = self._model_key(model)
+        n_int, max_children = arrays["child_index"].shape
+        n_nodes = arrays["n_nodes"]
+        pi = np.asarray(model.frequencies, dtype=np.float64)
+        pi = pi / pi.sum()
+        rate_weights = np.full(self.n_rates, 1.0 / self.n_rates)
+        constant = _constant_site_likelihood(self._codes, pi)
+
+        committed = self._committed
+        incremental = (
+            committed is not None
+            and committed[0] == topo_key
+            and committed[1] == model_key
+            and changed_node_index is not None
+        )
+        if incremental:
+            # one edge changed: refresh that edge's P and rescan the path
+            arrays_c = committed[2]
+            partials, child_P = committed[3], committed[4]
+            k_of_node = committed[5]
+            # locate (k, c) of the changed child edge
+            ci = arrays["child_index"]
+            hit = np.argwhere(ci == changed_node_index)
+            if len(hit) != 1:
+                incremental = False
+            else:
+                k0, c0 = int(hit[0, 0]), int(hit[0, 1])
+                newP = model.transition_matrices(
+                    np.asarray([arrays["child_edge"][k0, c0]])
+                )[0]
+                child_P = child_P.at[k0, c0].set(jnp.asarray(newP))
+                # path: k0's node, then ancestors to the root
+                path = [k0]
+                node = int(arrays["internal_index"][k0])
+                parent_of = arrays["parent_index"]
+                while int(parent_of[node]) >= 0:
+                    node = int(parent_of[node])
+                    path.append(int(k_of_node[node]))
+                depth = 1 << max(3, (len(path) - 1).bit_length())
+                path_ks = np.full(depth, -1, dtype=np.int32)
+                path_ks[: len(path)] = path
+                fn = self._path_fn(n_int, max_children, depth)
+                new_partials, ll = fn(
+                    partials, jnp.asarray(arrays["child_index"]),
+                    jnp.asarray(arrays["internal_index"]),
+                    int(arrays["root_index"]), child_P,
+                    jnp.asarray(path_ks), jnp.asarray(pi),
+                    jnp.asarray(rate_weights),
+                    jnp.asarray(float(getattr(model, "p_invariant", 0.0))),
+                    jnp.asarray(constant),
+                )
+                self.path_evals += 1
+                self._pending = (
+                    topo_key, model_key, arrays, new_partials, child_P,
+                    k_of_node,
+                )
+                return float(ll)
+
+        # full recompute
+        child_P = np.zeros((n_int, max_children, self.n_rates, 4, 4))
+        for k in range(n_int):
+            for c in range(max_children):
+                if arrays["child_index"][k, c] >= 0:
+                    child_P[k, c] = model.transition_matrices(
+                        np.asarray([arrays["child_edge"][k, c]])
+                    )[0]
+        fn = self._full_fn(n_nodes, n_int, max_children)
+        partials, ll = fn(
+            jnp.asarray(arrays["child_index"]),
+            jnp.asarray(arrays["internal_index"]),
+            int(arrays["root_index"]), jnp.asarray(child_P),
+            jnp.asarray(pi), jnp.asarray(rate_weights),
+            jnp.asarray(float(getattr(model, "p_invariant", 0.0))),
+            jnp.asarray(constant),
+        )
+        self.full_evals += 1
+        k_of_node = np.full(n_nodes, -1, dtype=np.int64)
+        k_of_node[arrays["internal_index"]] = np.arange(n_int)
+        self._pending = (
+            topo_key, model_key, arrays, partials, jnp.asarray(child_P),
+            k_of_node,
+        )
+        return float(ll)
+
+    def on_accept(self) -> None:
+        if self._pending is not None:
+            self._committed = self._pending
+        self._pending = None
+
+    def on_reject(self) -> None:
+        self._pending = None
+
+
+def _root_loglike(root, frequencies, rate_weights, p_invariant, constant_like):
+    site_like = jnp.einsum("rsi,i->rs", root, frequencies)
+    site_like = jnp.sum(site_like * rate_weights[:, None], axis=0)
+    site_like = (1.0 - p_invariant) * site_like + p_invariant * constant_like
+    return jnp.sum(jnp.log(jnp.maximum(site_like, 1e-300)))

@@ -63,7 +63,7 @@ class Chain:
                  heating_power: float = 1.0, rng: Optional[random.Random] = None,
                  updaters: Tuple[str, ...] = UPDATER_NAMES,
                  fixed_topology: bool = False,
-                 likelihood_fn=None):
+                 likelihood_fn=None, backend=None):
         self.alignment = alignment
         self.state = state
         self.heating_power = heating_power
@@ -71,6 +71,11 @@ class Chain:
         # Custom likelihood (e.g. the codon model's 61-state pruning,
         # phylo/codon.py); defaults to the nucleotide likelihood.
         self.likelihood_fn = likelihood_fn or log_likelihood
+        # Optional incremental device backend (CachedPartialsLikelihood):
+        # branch-length proposals recompute only the changed node -> root
+        # path from cached partials (the BeagleLib mechanism).
+        self.backend = backend
+        self._hint: Optional[int] = None
         self.updaters = tuple(
             u for u in updaters
             if not (fixed_topology and u in ("larget_simon", "polytomy"))
@@ -78,16 +83,27 @@ class Chain:
         self.polytomy_prior_c = 1.0
         self.accept_counts: Dict[str, int] = {u: 0 for u in self.updaters}
         self.try_counts: Dict[str, int] = {u: 0 for u in self.updaters}
-        self.state.log_like = self.likelihood_fn(state.tree, alignment, state.model)
+        if backend is not None:
+            self.state.log_like = backend.loglike(state.tree, state.model)
+            backend.on_accept()
+        else:
+            self.state.log_like = self.likelihood_fn(state.tree, alignment, state.model)
 
     # --- proposal helpers -------------------------------------------------
     def _metropolis(self, name: str, proposal_state: ChainState,
                     log_hastings: float = 0.0, log_prior_ratio: float = 0.0) -> bool:
         """Accept/reject at the chain's heating power."""
         self.try_counts[name] += 1
-        proposal_state.log_like = self.likelihood_fn(
-            proposal_state.tree, self.alignment, proposal_state.model
-        )
+        if self.backend is not None:
+            proposal_state.log_like = self.backend.loglike(
+                proposal_state.tree, proposal_state.model,
+                changed_node_index=self._hint,
+            )
+        else:
+            proposal_state.log_like = self.likelihood_fn(
+                proposal_state.tree, self.alignment, proposal_state.model
+            )
+        self._hint = None
         log_ratio = (
             self.heating_power * (proposal_state.log_like - self.state.log_like)
             + log_prior_ratio + log_hastings
@@ -95,7 +111,11 @@ class Chain:
         if math.log(self.rng.random() + 1e-300) < log_ratio:
             self.state = proposal_state
             self.accept_counts[name] += 1
+            if self.backend is not None:
+                self.backend.on_accept()
             return True
+        if self.backend is not None:
+            self.backend.on_reject()
         return False
 
     # --- updaters ---------------------------------------------------------
@@ -106,6 +126,7 @@ class Chain:
         lam = 0.5
         factor = math.exp(lam * (self.rng.random() - 0.5))
         node.edge_length = max(node.edge_length * factor, 1e-8)
+        self._hint = node.index  # single-edge move: path update suffices
         # exponential(10) branch-length prior.
         prior = -10.0 * (proposal.tree.tree_length() - self.state.tree.tree_length())
         self._metropolis("branch_length", proposal, math.log(factor), prior)

@@ -96,11 +96,13 @@ class PhyloTree:
         child_index = np.full((len(internals), max_children), -1, dtype=np.int32)
         child_edge = np.zeros((len(internals), max_children), dtype=np.float64)
         node_index = np.zeros(len(internals), dtype=np.int32)
+        parent_index = np.full(n_nodes, -1, dtype=np.int32)
         for k, node in enumerate(internals):
             node_index[k] = node.index
             for c, child in enumerate(node.children):
                 child_index[k, c] = child.index
                 child_edge[k, c] = child.edge_length
+                parent_index[child.index] = node.index
         return {
             "n_nodes": n_nodes,
             "n_internals": len(internals),
@@ -108,6 +110,7 @@ class PhyloTree:
             "internal_index": node_index,
             "child_index": child_index,
             "child_edge": child_edge,
+            "parent_index": parent_index,
         }
 
     # --- splits (kpl_splittree.h) -----------------------------------------

@@ -333,3 +333,37 @@ class TestNativeStringInfo:
         for r in range(info_w.count):
             for fid in sub:
                 assert info_c.object_value(fid, r) == info_w.object_value(fid, r)
+
+
+class TestScaleGenerator:
+    """generate_scale_vcf: byte-level writer parses identically through the
+    native path with expected population shape (the bench_scale fixture)."""
+
+    def test_parses_and_counts(self, tmp_path):
+        from kgl_gene_tpu.io.synthetic import generate_scale_vcf
+
+        path = generate_scale_vcf(
+            str(tmp_path / "s.vcf"), n_records=400, n_samples=30
+        )
+        pop, header, info = parse_vcf_population(
+            path, "s", "PF_DIPLOID", subscribed_info=["AF"]
+        )
+        assert pop.genome_count() == 30
+        assert info.count == 400
+        # hom cells emit two incidences, het one; spot-check one genome
+        from kgl_gene_tpu.variant.columnar import VariantMajorCSR
+
+        csr = VariantMajorCSR(pop)
+        assert csr.variant_count <= 400 and csr.variant_count > 0
+        af = csr.allele_frequencies()
+        assert np.all(af >= 0) and np.all(af <= 1)
+
+    def test_native_matches_python(self, tmp_path):
+        from kgl_gene_tpu.io.synthetic import generate_scale_vcf
+
+        path = generate_scale_vcf(
+            str(tmp_path / "s2.vcf"), n_records=120, n_samples=12
+        )
+        n = parse_vcf_population(path, "s", "PF_DIPLOID", use_native=True)
+        p = parse_vcf_population(path, "s", "PF_DIPLOID", use_native=False)
+        assert _population_snapshot(n[0]) == _population_snapshot(p[0])

@@ -396,3 +396,91 @@ class TestPolytomyMove:
         chain = Chain(alignment, state, fixed_topology=True)
         assert "polytomy" not in chain.updaters
         assert "larget_simon" not in chain.updaters
+
+
+class TestCachedPartials:
+    """Incremental (Beagle-style) cached-partials likelihood: the path
+    update must equal the full device recompute and the host reference,
+    and branch proposals must actually take the incremental route
+    (kpl_phylogenetic/kpl_likelihood.h:43-105)."""
+
+    def _setup(self, seed=0, n_leaves=8, n_sites=60):
+        import random as _random
+
+        rng = _random.Random(seed)
+        np_rng = np.random.default_rng(seed)
+        tree = random_tree([f"T{i}" for i in range(n_leaves)], rng)
+        aln = np_rng.integers(0, 4, size=(n_leaves, n_sites)).astype(np.uint8)
+        model = SubstitutionModel(
+            np.ones(6), np.array([0.25, 0.25, 0.25, 0.25]), 1.0, 1, 0.0
+        )
+        return tree, aln, model
+
+    def test_path_update_equals_full(self):
+        from kgl_gene_tpu.phylo.likelihood import (
+            CachedPartialsLikelihood, log_likelihood,
+        )
+
+        tree, aln, model = self._setup()
+        backend = CachedPartialsLikelihood(aln)
+        ll0 = backend.loglike(tree, model)
+        backend.on_accept()
+        host0 = log_likelihood(tree, aln, model)
+        assert abs(ll0 - host0) < 1e-3
+
+        # change one branch; incremental vs full must agree
+        node = tree.edges()[3]
+        node.edge_length *= 1.7
+        ll_inc = backend.loglike(tree, model, changed_node_index=node.index)
+        assert backend.path_evals == 1
+        backend.on_reject()
+        fresh = CachedPartialsLikelihood(aln)
+        ll_full = fresh.loglike(tree, model)
+        host1 = log_likelihood(tree, aln, model)
+        assert abs(ll_inc - ll_full) < 1e-6
+        assert abs(ll_inc - host1) < 1e-3
+
+    def test_reject_keeps_committed_state(self):
+        from kgl_gene_tpu.phylo.likelihood import CachedPartialsLikelihood
+
+        tree, aln, model = self._setup(seed=2)
+        backend = CachedPartialsLikelihood(aln)
+        ll0 = backend.loglike(tree, model)
+        backend.on_accept()
+        node = tree.edges()[1]
+        keep = node.edge_length
+        node.edge_length *= 3.0
+        backend.loglike(tree, model, changed_node_index=node.index)
+        backend.on_reject()
+        node.edge_length = keep
+        # committed partials unchanged: next incremental from the original
+        node2 = tree.edges()[4]
+        node2.edge_length *= 1.3
+        ll2 = backend.loglike(tree, model, changed_node_index=node2.index)
+        fresh = CachedPartialsLikelihood(aln)
+        ll2_full = fresh.loglike(tree, model)
+        assert abs(ll2 - ll2_full) < 1e-6
+
+    def test_chain_with_backend_runs_incremental(self, ):
+        import random as _random
+
+        from kgl_gene_tpu.phylo.likelihood import CachedPartialsLikelihood
+        from kgl_gene_tpu.phylo.mcmc import Chain, ChainState
+
+        tree, aln, model = self._setup(seed=3)
+        backend = CachedPartialsLikelihood(aln)
+        chain = Chain(
+            aln, ChainState(tree, model), rng=_random.Random(1),
+            updaters=("branch_length", "state_freq", "larget_simon"),
+            backend=backend,
+        )
+        for _ in range(12):
+            chain.next_step()
+        # branch moves took the path route; model/topology moves recomputed
+        assert backend.path_evals >= 8
+        assert backend.full_evals >= 2
+        # final committed loglike equals a fresh full evaluation
+        from kgl_gene_tpu.phylo.likelihood import log_likelihood
+
+        host = log_likelihood(chain.state.tree, aln, chain.state.model)
+        assert abs(chain.state.log_like - host) < 1e-2
