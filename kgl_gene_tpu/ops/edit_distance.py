@@ -286,10 +286,10 @@ def _rerun_overflow_pairs(
     failed_k: continue the edlib doubling at the NEXT band (2k+1); when no
     wider band exists the pairs go straight to the full wavefront kernel —
     never re-executing the band that just failed."""
-    from .pallas_banded import B_LEAD, adaptive_banded_levenshtein
+    from .pallas_banded import MAX_BAND, adaptive_banded_levenshtein
 
     next_k = 2 * failed_k + 1
-    if next_k >= B_LEAD:
+    if next_k > MAX_BAND:
         from .pallas_edit_distance import pallas_batched_levenshtein
 
         return pallas_batched_levenshtein(seq_a, len_a, seq_b, len_b)

@@ -39,10 +39,25 @@ __all__ = [
     "banded_levenshtein",
     "adaptive_banded_levenshtein",
     "banded_pairs_device",
+    "band_layout",
+    "MAX_BAND",
 ]
 
 BLOCK_B = 32  # pairs per block (amortises per-row loop overhead)
-B_LEAD = 128  # host-side leading sentinel pad on b (aligns group slices)
+B_LEAD = 128  # default leading sentinel pad on b (k < 128 band layouts)
+MAX_BAND = 511  # widest multi-tile band before the full wavefront takes over
+
+
+def band_layout(band_k: int, max_len: int):
+    """(lead, band_w, win_w, Wa) for a banded call: the leading sentinel
+    pad must cover the band reach-back (multi-tile bands k >= 128 need a
+    wider lead; edlib band doubling beyond one tile,
+    contrib/edlib/edlib.cpp:161-185)."""
+    lead = max(B_LEAD, ((band_k + 127) // 128) * 128)
+    band_w = ((2 * band_k + 1 + 127) // 128) * 128
+    win_w = band_w + lead + 128
+    Wa = ((max_len + 127) // 128) * 128
+    return lead, band_w, win_w, Wa
 
 
 def _prefix_min_chain(base: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -60,8 +75,8 @@ def _prefix_min_chain(base: jnp.ndarray, width: int) -> jnp.ndarray:
 
 def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
                    cap_ref, max_len: int, band_k: int, band_w: int,
-                   win_w: int, unroll: int = 128, block_b: int = BLOCK_B,
-                   uniform_cap: bool = False):
+                   win_w: int, lead: int = B_LEAD, unroll: int = 128,
+                   block_b: int = BLOCK_B, uniform_cap: bool = False):
     """One block of BLOCK_B pairs.
 
     prev_ref: (B, band_w) band wavefront (band_w = 2k+1 padded to 128s).
@@ -118,11 +133,11 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
     def group_body(g, _):
         astart = pl.multiple_of(g * 128, 128)
         a_grp0 = a_ref[:, pl.ds(astart, 128)].astype(jnp.int32)
-        # b window for the group: b_buf[g*128 ..) where b_buf[l] = b[l - B_LEAD].
+        # b window for the group: b_buf[g*128 ..) where b_buf[l] = b[l - lead].
         b_grp = b_ref[:, pl.ds(astart, Wg)].astype(jnp.int32)
-        # bwin[c] must equal b[g*128 + r - K + c] = b_grp[B_LEAD + r - K + c];
-        # initialise for r = 0 with a roll by -(B_LEAD - K), advance -1/row.
-        bwin0 = pltpu.roll(b_grp, (Wg - (B_LEAD - K)) % Wg, 1)
+        # bwin[c] must equal b[g*128 + r - K + c] = b_grp[lead + r - K + c];
+        # initialise for r = 0 with a roll by -(lead - K), advance -1/row.
+        bwin0 = pltpu.roll(b_grp, (Wg - (lead - K)) % Wg, 1)
 
         def row_body(r, carry):
             a_grp, bwin = carry
@@ -162,14 +177,13 @@ def _banded_call(seq_a, seq_b_buf, len_a_col, len_b_col, max_len: int,
                  band_k: int, interpret: bool = False, block_b: int = BLOCK_B,
                  uniform_cap: bool = False):
     B, Wa = seq_a.shape
-    band_w = ((2 * band_k + 1 + 127) // 128) * 128
-    win_w = band_w + 256
+    lead, band_w, win_w, _ = band_layout(band_k, max_len)
     grid = (B // block_b,)
     Wb = seq_b_buf.shape[1]
     kernel = functools.partial(
         _banded_kernel, max_len=max_len, band_k=band_k, band_w=band_w,
-        win_w=win_w, unroll=1 if interpret else 128, block_b=block_b,
-        uniform_cap=uniform_cap,
+        win_w=win_w, lead=lead, unroll=1 if interpret else 128,
+        block_b=block_b, uniform_cap=uniform_cap,
     )
     return pl.pallas_call(
         kernel,
@@ -201,24 +215,22 @@ def banded_levenshtein(
     """Banded distance. Exact iff result <= band_k and |la - lb| <= band_k."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    if band_k >= B_LEAD:
-        raise ValueError(f"band_k must be < {B_LEAD}; use the full kernel beyond")
+    if band_k > MAX_BAND:
+        raise ValueError(f"band_k must be <= {MAX_BAND}; use the full kernel beyond")
     seq_a = np.asarray(seq_a)
     seq_b = np.asarray(seq_b)
     len_a = np.asarray(len_a, dtype=np.int32)
     len_b = np.asarray(len_b, dtype=np.int32)
     B = seq_a.shape[0]
     M = max(seq_a.shape[1], seq_b.shape[1])
-    band_w = ((2 * band_k + 1 + 127) // 128) * 128
-    win_w = band_w + 256
-    Wa = ((M + 127) // 128) * 128
+    lead, band_w, win_w, Wa = band_layout(band_k, M)
     Bp = ((B + BLOCK_B - 1) // BLOCK_B) * BLOCK_B
 
     a_p = np.zeros((Bp, Wa), dtype=np.int32)
     a_p[:B, : seq_a.shape[1]] = seq_a
-    # b buffer: B_LEAD sentinel lanes, then b, then window slack.
-    b_buf = np.full((Bp, B_LEAD + Wa + win_w), -1, dtype=np.int32)
-    b_buf[:B, B_LEAD : B_LEAD + seq_b.shape[1]] = seq_b
+    # b buffer: `lead` sentinel lanes, then b, then window slack.
+    b_buf = np.full((Bp, lead + Wa + win_w), -1, dtype=np.int32)
+    b_buf[:B, lead : lead + seq_b.shape[1]] = seq_b
     la = np.zeros((Bp, 128), dtype=np.int32)
     lb = np.zeros((Bp, 128), dtype=np.int32)
     la[:B, :] = len_a[:, None]
@@ -240,16 +252,14 @@ def _banded_pairs_impl(seqs, lens, iu, ju, *, band_k: int,
     kgl_classification/kgl_distance_tree_upgma.cpp:53-69, re-shaped so only
     pair INDICES cross the host boundary)."""
     n, S = seqs.shape
-    band_w = ((2 * band_k + 1 + 127) // 128) * 128
-    win_w = band_w + 256
-    Wa = ((S + 127) // 128) * 128
+    lead, band_w, win_w, Wa = band_layout(band_k, S)
     P = iu.shape[0]
     Bp = ((P + block_b - 1) // block_b) * block_b
     a = seqs[iu].astype(jnp.int32)
     b = seqs[ju].astype(jnp.int32)
     a_p = jnp.zeros((Bp, Wa), jnp.int32).at[:P, :S].set(a)
-    b_buf = jnp.full((Bp, B_LEAD + Wa + win_w), -1, jnp.int32).at[
-        :P, B_LEAD : B_LEAD + S
+    b_buf = jnp.full((Bp, lead + Wa + win_w), -1, jnp.int32).at[
+        :P, lead : lead + S
     ].set(b)
     la = jnp.zeros((Bp, 128), jnp.int32).at[:P, :].set(lens[iu][:, None])
     lb = jnp.zeros((Bp, 128), jnp.int32).at[:P, :].set(lens[ju][:, None])
@@ -285,10 +295,11 @@ def banded_pairs_device(seqs_dev, lens_dev, iu: np.ndarray, ju: np.ndarray,
 
 def adaptive_banded_levenshtein(
     seq_a: np.ndarray, len_a: np.ndarray, seq_b: np.ndarray, len_b: np.ndarray,
-    start_k: int = 63, max_band: int = 127, interpret: bool | None = None,
+    start_k: int = 63, max_band: int = MAX_BAND, interpret: bool | None = None,
 ) -> np.ndarray:
     """Edlib band-doubling: distances verified against the band; pairs that
-    overflow re-run at 2k; final stragglers use the exact full kernel."""
+    overflow re-run at 2k (multi-tile bands up to MAX_BAND); final
+    stragglers use the exact full kernel."""
     from .pallas_edit_distance import pallas_batched_levenshtein
 
     len_a = np.asarray(len_a, dtype=np.int32)
@@ -297,7 +308,7 @@ def adaptive_banded_levenshtein(
     result = np.full(B, -1, dtype=np.int32)
     pending = np.arange(B)
     k = start_k
-    while len(pending) and k < B_LEAD:
+    while len(pending) and k <= max_band:
         d = banded_levenshtein(
             np.asarray(seq_a)[pending], len_a[pending],
             np.asarray(seq_b)[pending], len_b[pending], band_k=k,

@@ -108,16 +108,14 @@ def _forward(
     # the static form of edlib's band doubling (edlib.cpp:161-185).
     band_k = 63 if K_snps <= 63 else (127 if K_snps <= 127 else 0)
     if use_pallas and band_k and S >= 512:
-        from .pallas_banded import B_LEAD, _banded_call
+        from .pallas_banded import _banded_call, band_layout
 
-        band_w = ((2 * band_k + 1 + 127) // 128) * 128
-        win_w = band_w + 256
-        Wa = ((S + 127) // 128) * 128
+        lead, band_w, win_w, Wa = band_layout(band_k, S)
         block_b = 256 if B % 256 == 0 else (128 if B % 128 == 0 else 32)
         Bp = ((B + block_b - 1) // block_b) * block_b
         a_p = jnp.zeros((Bp, Wa), jnp.int32).at[:B, :S].set(coding.astype(jnp.int32))
-        b_buf = jnp.full((Bp, B_LEAD + Wa + win_w), -1, jnp.int32).at[
-            :B, B_LEAD : B_LEAD + S
+        b_buf = jnp.full((Bp, lead + Wa + win_w), -1, jnp.int32).at[
+            :B, lead : lead + S
         ].set(jnp.broadcast_to(ref_coding, (B, S)).astype(jnp.int32))
         len_col = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S)
         # uniform_cap: every real pair has la == lb == S (mutants are
@@ -328,20 +326,18 @@ def _forward_indel(
     ref_b = jnp.broadcast_to(ref_coding, (B, S_ref)).astype(jnp.int32)
     len_ref = jnp.full((B,), S_ref, jnp.int32)
     if use_pallas and band_k > 0:
-        from .pallas_banded import B_LEAD, _banded_call
+        from .pallas_banded import _banded_call, band_layout
 
         interpret = jax.default_backend() not in ("tpu", "axon")
         Mx = max(S_pad, S_ref)
-        band_w = ((2 * band_k + 1 + 127) // 128) * 128
-        win_w = band_w + 256
-        Wa = ((Mx + 127) // 128) * 128
+        lead, band_w, win_w, Wa = band_layout(band_k, Mx)
         block_b = 32
         Bp = ((B + block_b - 1) // block_b) * block_b
         a_p = jnp.zeros((Bp, Wa), jnp.int32).at[:B, :S_pad].set(
             coding.astype(jnp.int32)
         )
-        b_buf = jnp.full((Bp, B_LEAD + Wa + win_w), -1, jnp.int32).at[
-            :B, B_LEAD : B_LEAD + S_ref
+        b_buf = jnp.full((Bp, lead + Wa + win_w), -1, jnp.int32).at[
+            :B, lead : lead + S_ref
         ].set(ref_b)
         la = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(coding_len[:, None])
         lb = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S_ref)

@@ -87,3 +87,62 @@ def test_banded_pairs_device_matches_oracle():
         interpret=True, uniform_cap=True,
     )
     assert d2.tolist() == want
+
+
+class TestMultiTileBand:
+    """Multi-tile bands (k = 255 / 511): exactness past the single-tile
+    127 cliff — the divergent Pf var-gene-family regime (edlib band
+    doubling, contrib/edlib/edlib.cpp:161-185)."""
+
+    @pytest.mark.parametrize("band_k", [255, 511])
+    def test_exact_divergent_pairs(self, band_k):
+        from kgl_gene_tpu.ops.edit_distance import levenshtein_numpy
+        from kgl_gene_tpu.ops.pallas_banded import banded_levenshtein
+
+        rng = np.random.default_rng(band_k)
+        B, S = 4, 900
+        base = rng.integers(0, 4, S).astype(np.int32)
+        seq_a = np.tile(base, (B, 1))
+        seq_b = np.tile(base, (B, 1))
+        # salt ~band_k/2 edits into b so distances land inside the band
+        for i in range(B):
+            for p in rng.choice(S, size=band_k // 2 - 10, replace=False):
+                seq_b[i, p] = (seq_b[i, p] + 1 + rng.integers(0, 3)) % 4
+        la = np.full(B, S, np.int32)
+        got = banded_levenshtein(seq_a, la, seq_b, la, band_k=band_k)
+        for i in range(B):
+            expect = levenshtein_numpy(seq_a[i], seq_b[i])
+            assert expect <= band_k  # exactness condition holds
+            assert got[i] == expect, i
+
+    def test_adaptive_reaches_multi_tile(self):
+        """Band doubling escalates 63 -> 127 -> 255 before the full
+        kernel; a ~200-edit pair must resolve exactly inside the band."""
+        from kgl_gene_tpu.ops.edit_distance import levenshtein_numpy
+        from kgl_gene_tpu.ops.pallas_banded import adaptive_banded_levenshtein
+
+        rng = np.random.default_rng(1)
+        S = 700
+        a = rng.integers(0, 4, S).astype(np.int32)
+        b = a.copy()
+        for p in rng.choice(S, size=200, replace=False):
+            b[p] = (b[p] + 1 + rng.integers(0, 3)) % 4
+        got = adaptive_banded_levenshtein(
+            a[None, :], np.array([S], np.int32), b[None, :],
+            np.array([S], np.int32), start_k=63,
+        )
+        assert got[0] == levenshtein_numpy(a, b)
+
+    def test_unequal_lengths_multi_tile(self):
+        from kgl_gene_tpu.ops.edit_distance import levenshtein_numpy
+        from kgl_gene_tpu.ops.pallas_banded import banded_levenshtein
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 4, 640).astype(np.int32)
+        b = np.concatenate([a[:300], a[460:]])  # 160-base deletion
+        got = banded_levenshtein(
+            a[None, :], np.array([640], np.int32),
+            np.pad(b, (0, 640 - len(b)))[None, :],
+            np.array([len(b)], np.int32), band_k=255,
+        )
+        assert got[0] == levenshtein_numpy(a, b)
