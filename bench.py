@@ -165,13 +165,13 @@ def bench_phylo(jax):
     from kgl_gene_tpu.phylo.vmapped import VmappedChains
 
     rng = np.random.default_rng(7)
-    n_taxa, n_sites = 16, 10_000
+    n_taxa, n_sites = 16, 50_000
     tree = random_tree([f"T{i}" for i in range(n_taxa)], random.Random(7))
     aln = rng.integers(0, 4, size=(n_taxa, n_sites)).astype(np.uint8)
 
     chains = VmappedChains(tree, aln, n_chains=4)
-    chains.run(4)  # compile + warm
     iters = 200
+    chains.run(iters)  # compile + warm (same shape as the timed run)
     start = time.perf_counter()
     trace = chains.run(iters)
     device_elapsed = time.perf_counter() - start
@@ -185,7 +185,7 @@ def bench_phylo(jax):
                   "exchangeability"),
         fixed_topology=True,
     )
-    host_iters = 3
+    host_iters = 2
     start = time.perf_counter()
     for _ in range(host_iters):
         host_chain.next_step()

@@ -328,16 +328,19 @@ def pairwise_distance_matrix(
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if band_k is not None and on_tpu:
         # Device-resident pool: upload the n sequences ONCE; per chunk only
-        # pair indices go up and distances come back. Pairs that overflow
-        # the band re-run through the host adaptive path (exactness).
-        from .pallas_banded import banded_pairs_device
+        # pair indices go up. Every chunk DISPATCHES before anything is
+        # fetched and the distances come back as ONE device->host transfer
+        # (a remote-attached device pays ~25 ms per fetch — 16 sequential
+        # fetches once dominated this path). Pairs that overflow the band
+        # re-run through the host adaptive path (exactness).
+        from .pallas_banded import _banded_pairs_gather
 
         seqs_dev = jax.device_put(jnp.asarray(seqs, jnp.int32))
         lens_dev = jax.device_put(jnp.asarray(lens, jnp.int32))
         # Static uniform-length promise lets the kernel skip per-row
         # capture work (every pair captures at the final wavefront row).
         uniform = bool(np.all(lens == seqs.shape[1]))
-        dist = np.zeros(n_pairs, dtype=np.int32)
+        handles = []
         for start in range(0, n_pairs, batch_pairs):
             bi = iu[start : start + batch_pairs]
             bj = ju[start : start + batch_pairs]
@@ -345,10 +348,22 @@ def pairwise_distance_matrix(
             if take < batch_pairs and n_pairs > batch_pairs:
                 bi = np.concatenate([bi, np.full(batch_pairs - take, iu[0])])
                 bj = np.concatenate([bj, np.full(batch_pairs - take, ju[0])])
-            d = banded_pairs_device(
-                seqs_dev, lens_dev, bi, bj, band_k=band_k, uniform_cap=uniform
+            handles.append(
+                _banded_pairs_gather(
+                    seqs_dev, lens_dev, jnp.asarray(bi, jnp.int32),
+                    jnp.asarray(bj, jnp.int32), band_k=band_k,
+                    uniform_cap=uniform,
+                )
             )
-            dist[start : start + take] = d[:take]
+        fused = np.asarray(
+            handles[0] if len(handles) == 1 else jnp.concatenate(handles)
+        )
+        dist = np.zeros(n_pairs, dtype=np.int32)
+        for c, start in enumerate(range(0, n_pairs, batch_pairs)):
+            take = min(batch_pairs, n_pairs - start)
+            dist[start : start + take] = fused[
+                c * batch_pairs : c * batch_pairs + take
+            ]
         ok = (dist <= band_k) & (
             np.abs(lens[iu] - lens[ju]) <= band_k
         )
