@@ -153,7 +153,7 @@ def bench_end_to_end(jax, tmp):
 
 def bench_phylo(jax):
     """Device-resident MCMC (vmapped heated chains, phylo/vmapped.py) at a
-    kpl-scale workload: 16 taxa x 10,000 sites, 4 chains in ONE device
+    kpl-scale workload: 16 taxa x 100,000 sites, 4 chains in ONE device
     program. Reported as cold-chain iterations/s, with the host
     object-sampler (phylo/mcmc.py Chain, numpy likelihood per proposal) as
     the denominator — the reference's BeagleLib-vs-host equivalent."""
@@ -165,7 +165,7 @@ def bench_phylo(jax):
     from kgl_gene_tpu.phylo.vmapped import VmappedChains
 
     rng = np.random.default_rng(7)
-    n_taxa, n_sites = 16, 50_000
+    n_taxa, n_sites = 16, 100_000
     tree = random_tree([f"T{i}" for i in range(n_taxa)], random.Random(7))
     aln = rng.integers(0, 4, size=(n_taxa, n_sites)).astype(np.uint8)
 

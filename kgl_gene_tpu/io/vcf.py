@@ -916,7 +916,9 @@ class _NativeLander:
                 self.population.arena.contig_index(c) for c in contig_names
             ]
             for r in np.nonzero(rec_has)[0].tolist():
-                ref_b = text[ref_s[r] : ref_e[r]].translate(code_trans)
+                # bytes(...) keeps intern keys hashable when `text` is the
+                # reusable chunk bytearray (zero-copy ingest loop).
+                ref_b = bytes(text[ref_s[r] : ref_e[r]]).translate(code_trans)
                 ident = (
                     text[id_s[r] : id_e[r]].decode("ascii")
                     if id_e[r] > id_s[r] else ""
@@ -927,7 +929,9 @@ class _NativeLander:
                     if needed_l[a]:
                         rows[a] = intern_bytes(
                             cidx, offset, ref_b,
-                            text[alt_sl[a] : alt_el[a]].translate(code_trans),
+                            bytes(text[alt_sl[a] : alt_el[a]]).translate(
+                                code_trans
+                            ),
                             ident, base + r,
                         )
 
@@ -959,11 +963,11 @@ class _NativeLander:
             cols = {
                 "row": rows[row_start[inc_rec] + res["inc_allele"] - 1],
                 "phase": res["inc_phase"],
-                "ref_count": res["inc_ref_count"].astype(np.int64),
-                "alt_count": res["inc_alt_count"].astype(np.int64),
-                "dp": res["inc_dp"].astype(np.int64),
+                "ref_count": res["inc_ref_count"],
+                "alt_count": res["inc_alt_count"],
+                "dp": res["inc_dp"],
                 "gq": res["inc_gq"],
-                "quality": res["rec_qual"][inc_rec].astype(np.float32),
+                "quality": res["rec_qual"][inc_rec],
                 "pass": res["rec_pass"][inc_rec],
                 "contig": res["rec_contig"][inc_rec],
             }
@@ -1094,29 +1098,57 @@ def _native_parse_population(
             genome_names,
         )
 
-        chunk = first[body_start:]
+        # Zero-copy chunk loop: ONE reusable buffer refilled with readinto;
+        # the C++ parser takes (pointer, line-aligned length), and only the
+        # partial trailing line moves (a memmove of < one record). The old
+        # slice-and-concat loop copied every chunk 3-4 times — at 13 GB
+        # that was most of the ingest wall time.
+        carry_len = len(first) - body_start
+        buf = bytearray(max(chunk_size, carry_len, 1 << 20))
+        buf[:carry_len] = first[body_start:]
         first = b""
-        while chunk:
-            nxt = stream.read(chunk_size)
-            if nxt:
-                # cut at the last newline so records never split
-                cut = chunk.rfind(b"\n")
-                if cut < 0:
-                    chunk += nxt
-                    continue
-                carry = chunk[cut + 1 :]
-                chunk = chunk[: cut + 1]
+        eof = False
+        while True:
+            while not eof and carry_len < len(buf):
+                view = memoryview(buf)[carry_len:]
+                if hasattr(stream, "readinto"):
+                    n = stream.readinto(view)
+                else:
+                    data = stream.read(len(buf) - carry_len)
+                    n = len(data)
+                    buf[carry_len : carry_len + n] = data
+                del view
+                if not n:
+                    eof = True
+                    break
+                carry_len += n
+            if carry_len == 0:
+                break
+            if eof:
+                cut = carry_len  # final tail: records may lack a newline
             else:
-                carry = b""
+                cut = buf.rfind(b"\n", 0, carry_len) + 1
+                if cut <= 0:
+                    # one line larger than the buffer: grow and refill
+                    grown = bytearray(len(buf) * 2)
+                    grown[:carry_len] = buf[:carry_len]
+                    buf = grown
+                    continue
             res = parse_vcf_records(
-                bytes(chunk), 0, n_samples, mode,
+                buf, 0, n_samples, mode,
                 lander.numeric_fields, lander.flag_fields,
                 lander.array_fields, lander.string_fields,
+                length=cut,
             )
             if res is None:
                 return None
-            lander.consume(res, chunk)
-            chunk = carry + nxt if nxt else b""
+            lander.consume(res, buf)
+            rem = carry_len - cut
+            if rem:
+                buf[:rem] = buf[cut:carry_len]
+            carry_len = rem
+            if eof:
+                break
 
     lander.finalize()
     if lander.bad_records:

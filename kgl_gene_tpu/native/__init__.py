@@ -127,7 +127,7 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         lib.kgt_count_lines.argtypes = [ctypes.c_char_p, ctypes.c_long]
         lib.kgt_vcf_parse_records.restype = ctypes.POINTER(_KgtVcfResult)
         lib.kgt_vcf_parse_records.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int,
         ]
@@ -199,7 +199,7 @@ def _copy_col(ptr, n: int, dtype) -> np.ndarray:
 
 
 def parse_vcf_records(
-    text: bytes,
+    text,
     body_start: int,
     n_samples: int,
     mode: int,
@@ -208,6 +208,7 @@ def parse_vcf_records(
     array_fields: "list[str]" = (),
     string_fields: "list[str]" = (),
     threads: int = 0,
+    length: Optional[int] = None,
 ) -> Optional[dict]:
     """End-to-end C++ VCF record-loop parse (the reference's 50-thread
     native consumer pool, kgl_variant_factory_readvcf_impl.h:45). Returns a
@@ -222,12 +223,23 @@ def parse_vcf_records(
         return None
     if threads <= 0:
         threads = max((os.cpu_count() or 2), 1)
+    n = len(text) if length is None else length
+    # Zero-copy buffer handoff: bytes pass as-is; bytearray/memoryview via
+    # from_buffer (the chunked ingest reuses ONE buffer — no per-chunk
+    # slicing copies on multi-GiB files).
+    keepalive = None
+    if isinstance(text, (bytearray, memoryview)):
+        keepalive = (ctypes.c_char * len(text)).from_buffer(text)
+        addr = ctypes.addressof(keepalive)
+    else:
+        addr = ctypes.cast(ctypes.c_char_p(text), ctypes.c_void_p).value
     res_ptr = lib.kgt_vcf_parse_records(
-        text, len(text), body_start, n_samples, mode,
+        addr, n, body_start, n_samples, mode,
         "\n".join(numeric_fields).encode(), "\n".join(flag_fields).encode(),
         "\n".join(array_fields).encode(), "\n".join(string_fields).encode(),
         threads,
     )
+    del keepalive
     if not res_ptr:
         return None
     try:

@@ -340,6 +340,11 @@ def pairwise_distance_matrix(
         # Static uniform-length promise lets the kernel skip per-row
         # capture work (every pair captures at the final wavefront row).
         uniform = bool(np.all(lens == seqs.shape[1]))
+        # One launch when the padded pair pool fits comfortably in HBM
+        # (~60 KB per pair at 3 kb sequences): per-call upload latency on a
+        # remote-attached device otherwise dominates the whole matrix.
+        if n_pairs <= 65536:
+            batch_pairs = max(batch_pairs, ((n_pairs + 511) // 512) * 512)
         handles = []
         for start in range(0, n_pairs, batch_pairs):
             bi = iu[start : start + batch_pairs]

@@ -55,7 +55,9 @@ def _collect_incidences(
     r_parts: List[np.ndarray] = []
     for gidx, gid in enumerate(genome_ids):
         for _, contig in population.genome_map[gid].contig_map.items():
-            rows = contig.columns()["row"]
+            # raw row blocks: no per-genome sorted-column materialisation
+            # (order is irrelevant — everything re-sorts globally below)
+            rows = contig.incidence_rows()
             if len(rows):
                 r_parts.append(np.asarray(rows, dtype=np.int64))
                 g_parts.append(np.full(len(rows), gidx, dtype=np.int64))

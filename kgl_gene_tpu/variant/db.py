@@ -71,12 +71,15 @@ class ContigDB:
         n = len(rows)
         if n == 0:
             return
+        # Integer/float count columns keep their incoming width (the native
+        # parser lands int32 — forcing int64 copied every column; consumers
+        # are dtype-agnostic).
         self._blocks.append({
             "row": np.asarray(rows, dtype=np.int64),
             "phase": np.asarray(phase, dtype=np.uint8),
-            "ref_count": np.asarray(ref_count, dtype=np.int64),
-            "alt_count": np.asarray(alt_count, dtype=np.int64),
-            "dp_count": np.asarray(dp_count, dtype=np.int64),
+            "ref_count": np.asarray(ref_count),
+            "alt_count": np.asarray(alt_count),
+            "dp_count": np.asarray(dp_count),
             "gq_value": np.asarray(gq_value, dtype=np.float32),
             "quality": np.asarray(quality, dtype=np.float32),
             "pass": np.asarray(pass_filter, dtype=bool),
