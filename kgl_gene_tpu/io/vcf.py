@@ -1053,14 +1053,17 @@ def _native_parse_population(
         return None
 
     with stream:
-        first = stream.read(chunk_size)
+        # Header reads stay small: the body loop below streams the bulk
+        # into its reusable buffer.
+        header_read = min(chunk_size, 1 << 20)
+        first = stream.read(header_read)
         # --- header (small, parsed in Python) ------------------------------
         header = VCFHeader()
         body_start = 0
         pos = 0
         while True:
             if pos >= len(first):
-                more = stream.read(chunk_size)
+                more = stream.read(header_read)
                 if not more:
                     break
                 first += more
@@ -1069,7 +1072,7 @@ def _native_parse_population(
                 break
             nl = first.find(b"\n", pos)
             if nl < 0:
-                more = stream.read(chunk_size)
+                more = stream.read(header_read)
                 if not more:
                     nl = len(first)
                 else:
@@ -1104,7 +1107,10 @@ def _native_parse_population(
         # slice-and-concat loop copied every chunk 3-4 times — at 13 GB
         # that was most of the ingest wall time.
         carry_len = len(first) - body_start
-        buf = bytearray(max(chunk_size, carry_len, 1 << 20))
+        # Start at 64 MiB (capped by chunk_size): a zero-filled multi-GiB
+        # bytearray costs hundreds of ms of memset per parse and buys
+        # nothing — the loop just refills more often on huge files.
+        buf = bytearray(max(min(chunk_size, 64 << 20), carry_len, 1 << 20))
         buf[:carry_len] = first[body_start:]
         first = b""
         eof = False
