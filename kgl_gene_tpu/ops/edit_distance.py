@@ -345,6 +345,9 @@ def pairwise_distance_matrix(
         # remote-attached device otherwise dominates the whole matrix.
         if n_pairs <= 65536:
             batch_pairs = max(batch_pairs, ((n_pairs + 511) // 512) * 512)
+        # Wide blocks amortise the kernel's per-row scalar overhead over 4x
+        # more lanes (the 32-pair default left most of the VPU idle).
+        block_b = 128 if n_pairs >= 128 else 32
         handles = []
         for start in range(0, n_pairs, batch_pairs):
             bi = iu[start : start + batch_pairs]
@@ -357,7 +360,7 @@ def pairwise_distance_matrix(
                 _banded_pairs_gather(
                     seqs_dev, lens_dev, jnp.asarray(bi, jnp.int32),
                     jnp.asarray(bj, jnp.int32), band_k=band_k,
-                    uniform_cap=uniform,
+                    block_b=block_b, uniform_cap=uniform,
                 )
             )
         fused = np.asarray(
