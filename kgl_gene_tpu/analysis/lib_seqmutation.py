@@ -67,41 +67,43 @@ _BASE5_LUT = np.stack(
 )
 
 
-def _pack_outputs(coding, distance, validity_code, coding_len):
-    """Jit-packed step outputs: three base-5 coding codes per byte + an
+def _pack_traced(coding, distance, validity_code, coding_len):
+    """Traceable output packing: three base-5 coding codes per byte + an
     8-byte tail (distance LE32, validity code, coding length LE24) so the
-    host fetches ONE array."""
+    host fetches ONE uint8 array per step."""
+    import jax.numpy as jnp
+
+    B, S = coding.shape
+    c = coding.astype(jnp.uint8)
+    if S % 3:
+        c = jnp.pad(c, ((0, 0), (0, 3 - S % 3)))
+    # base-5 packing: three codes (0..4, N included) per byte.
+    nib = c[:, 0::3] + 5 * c[:, 1::3] + 25 * c[:, 2::3]
+    d = distance.astype(jnp.uint32)
+    cl = coding_len.astype(jnp.uint32)
+    tail = jnp.stack(
+        [
+            (d & 255).astype(jnp.uint8),
+            ((d >> 8) & 255).astype(jnp.uint8),
+            ((d >> 16) & 255).astype(jnp.uint8),
+            ((d >> 24) & 255).astype(jnp.uint8),
+            validity_code.astype(jnp.uint8),
+            (cl & 255).astype(jnp.uint8),
+            ((cl >> 8) & 255).astype(jnp.uint8),
+            ((cl >> 16) & 255).astype(jnp.uint8),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([nib, tail], axis=1)
+
+
+def _pack_outputs(coding, distance, validity_code, coding_len):
+    """Jitted wrapper around _pack_traced (single-step dispatch path)."""
     fn = _JIT_HELPERS.get("pack")
     if fn is None:
         import jax
-        import jax.numpy as jnp
 
-        @jax.jit
-        def _pack(coding, distance, validity_code, coding_len):
-            B, S = coding.shape
-            c = coding.astype(jnp.uint8)
-            if S % 3:
-                c = jnp.pad(c, ((0, 0), (0, 3 - S % 3)))
-            # base-5 packing: three codes (0..4, N included) per byte.
-            nib = c[:, 0::3] + 5 * c[:, 1::3] + 25 * c[:, 2::3]
-            d = distance.astype(jnp.uint32)
-            cl = coding_len.astype(jnp.uint32)
-            tail = jnp.stack(
-                [
-                    (d & 255).astype(jnp.uint8),
-                    ((d >> 8) & 255).astype(jnp.uint8),
-                    ((d >> 16) & 255).astype(jnp.uint8),
-                    ((d >> 24) & 255).astype(jnp.uint8),
-                    validity_code.astype(jnp.uint8),
-                    (cl & 255).astype(jnp.uint8),
-                    ((cl >> 8) & 255).astype(jnp.uint8),
-                    ((cl >> 16) & 255).astype(jnp.uint8),
-                ],
-                axis=1,
-            )
-            return jnp.concatenate([nib, tail], axis=1)
-
-        fn = _JIT_HELPERS["pack"] = _pack
+        fn = _JIT_HELPERS["pack"] = jax.jit(_pack_traced)
     return fn(coding, distance, validity_code, coding_len)
 
 
@@ -319,6 +321,121 @@ class MutateGenes:
         return _pack_outputs(out.mutated_coding, out.distance,
                              out.validity_code, out.coding_len)
 
+    def _pooled_program(self, specs, transcripts):
+        """ONE jitted program running every transcript's snp/indel forward
+        step back to back, packing each step's outputs and concatenating
+        them on device. On a remote-attached device (the axon tunnel) each
+        program execution costs ~30 ms of launch/round-trip overhead
+        regardless of compute, so collapsing T transcripts x 2 steps + the
+        concat from 2T+1 executions into ONE is the difference between the
+        product path being overhead-bound and compute-bound (the reference
+        instead loops transcripts around a thread pool,
+        kga_analysis_lib_seqmutation.cpp:26-55).
+
+        specs: tuple of ("snp"|"indel", transcript_key, geometry...) — the
+        cache key; transcripts: parallel list of TranscriptionSequence used
+        only on a cache miss. The jitted program is cached ON the contig
+        object so a fresh MutateGenes per pass (the product pattern) still
+        reuses the traced executable. Returns fn(*flat_inputs) ->
+        (Bmax, sum(widths)) uint8.
+        """
+        cache = self.contig_ref.__dict__.setdefault("_pooled_step_cache", {})
+        key = ("pooled", self.contig_ref.coding_table.name, specs)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.pipeline import _forward, _forward_indel
+        from ..sequence.alphabet import DNA5, AminoAcid
+        from ..sequence.tables import amino_translation_table
+
+        table = amino_translation_table(self.contig_ref.coding_table.name)
+        amino_lut = jnp.asarray(table.amino_lut, dtype=jnp.uint8)
+        complement_lut = jnp.asarray(DNA5.COMPLEMENT, dtype=jnp.uint8)
+        start_codes = jnp.asarray(
+            np.unique(table.amino_lut[table.start_lut]), dtype=jnp.uint8
+        )
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+
+        # Per-step geometry constants, resolved once at build time.
+        consts = []
+        for spec, transcript in zip(specs, transcripts):
+            which, _tx_id, start, end, *extra = spec
+            region = jnp.asarray(
+                self.contig_ref.subsequence(transcript.interval).codes,
+                dtype=jnp.uint8,
+            )
+            exon_intervals = np.asarray(transcript.exon_arrays(), np.int64)
+            reverse = transcript.strand is StrandSense.REVERSE
+            if which == "snp":
+                exon_lens = tuple(
+                    int(hi - lo) for lo, hi in exon_intervals
+                )
+                exon_starts = jnp.asarray(
+                    exon_intervals[:, 0] - transcript.start, dtype=jnp.int32
+                )
+                consts.append((region, exon_starts, exon_lens, reverse))
+            else:
+                exon_bounds = np.asarray(
+                    [
+                        (int(lo - transcript.start), int(hi - transcript.start))
+                        for lo, hi in exon_intervals
+                    ],
+                    dtype=np.int64,
+                )
+                pad_coding, band_k = extra
+                consts.append((region, exon_bounds, reverse, pad_coding, band_k))
+
+        n_inputs = [3 if s[0] == "snp" else 7 for s in specs]
+
+        def program(*flat):
+            packed = []
+            it = iter(flat)
+            for spec, cst in zip(specs, consts):
+                if spec[0] == "snp":
+                    region, exon_starts, exon_lens, reverse = cst
+                    pos, alt, valid = next(it), next(it), next(it)
+                    out = _forward(
+                        region, exon_starts, exon_lens, reverse,
+                        pos, alt, valid, amino_lut, complement_lut,
+                        AminoAcid.STOP, start_codes, use_pallas=use_pallas,
+                    )
+                    cl = jnp.full(
+                        out.distance.shape, out.mutated_coding.shape[1],
+                        jnp.int32,
+                    )
+                    packed.append(
+                        _pack_traced(out.mutated_coding, out.distance,
+                                     out.validity_code, cl)
+                    )
+                else:
+                    region, exon_bounds, reverse, pad_coding, band_k = cst
+                    args = [next(it) for _ in range(7)]
+                    out = _forward_indel(
+                        region, exon_bounds, reverse, *args,
+                        amino_lut, complement_lut, AminoAcid.STOP,
+                        start_codes, pad_coding, band_k, use_pallas,
+                    )
+                    packed.append(
+                        _pack_traced(out.mutated_coding, out.distance,
+                                     out.validity_code, out.coding_len)
+                    )
+            bmax = max(p.shape[0] for p in packed)
+            return jnp.concatenate(
+                [
+                    jnp.pad(p, ((0, bmax - p.shape[0]), (0, 0)))
+                    if p.shape[0] < bmax else p
+                    for p in packed
+                ],
+                axis=1,
+            )
+
+        hit = (jax.jit(program), n_inputs)
+        cache[key] = hit
+        return hit
+
     def _device_collect(
         self, packed: np.ndarray, batch: BatchCapture,
         transcript: TranscriptionSequence, coding_len: int,
@@ -506,7 +623,7 @@ class MutateGenes:
             use_device = self.use_device
         contig_id = self.contig_ref.contig_id
         preps = []
-        packed_devs = []  # flat list of (prep_index, which, device handle)
+        steps = []  # (prep_index, which, transcript, batch)
         for transcript in transcripts:
             dev = use_device and transcript.coding_nucleotides() >= 3
             snp_batch, indel_batch, empty_ids, host_ids = self._capture(
@@ -516,30 +633,41 @@ class MutateGenes:
             stats.total_genomes = population.genome_count()
             i = len(preps)
             if snp_batch is not None and snp_batch.genome_ids:
-                packed_devs.append(
-                    (i, "snp", self._device_dispatch(snp_batch, transcript))
-                )
+                steps.append((i, "snp", transcript, snp_batch))
             if indel_batch is not None and indel_batch.genome_ids:
-                packed_devs.append(
-                    (i, "indel",
-                     self._device_dispatch_indel(indel_batch, transcript))
-                )
+                steps.append((i, "indel", transcript, indel_batch))
             preps.append(
                 (transcript, snp_batch, indel_batch, empty_ids, host_ids, stats)
             )
 
-        # One fetch for every dispatched step.
+        # ONE pooled program for every step, ONE fetch (see _pooled_program).
         fetched: Dict[Tuple[int, str], np.ndarray] = {}
-        live = [p for (_i, _w, p) in packed_devs]
-        if len(live) > 1:
-            fused = np.asarray(_concat_packed(live), dtype=np.uint8)
-            widths = [int(p.shape[1]) for p in live]
+        if steps:
+            specs, step_txs, flat_inputs, widths = [], [], [], []
+            for _i, which, tx, b in steps:
+                if which == "snp":
+                    specs.append(("snp", tx.transcript_id, tx.start, tx.end))
+                    flat_inputs += [b.positions, b.alt_codes, b.valid]
+                    widths.append((tx.coding_nucleotides() + 2) // 3 + 8)
+                else:
+                    K, A = b.pos.shape[1], b.ins_codes.shape[2]
+                    pad_c = ((max(K * A, 3) + 2) // 3) * 3
+                    band_k = 63 if b.edit_bound <= 63 else (
+                        127 if b.edit_bound <= 127 else 0
+                    )
+                    specs.append(("indel", tx.transcript_id, tx.start, tx.end,
+                                  pad_c, band_k))
+                    flat_inputs += [b.pos, b.kind, b.del_len, b.ins_codes,
+                                    b.ins_len, b.alt_code, b.valid]
+                    s_pad = ((tx.coding_nucleotides() + pad_c + 2) // 3) * 3
+                    widths.append(s_pad // 3 + 8)
+                step_txs.append(tx)
+            fn, _n_inputs = self._pooled_program(tuple(specs), step_txs)
+            fused = np.asarray(fn(*flat_inputs), dtype=np.uint8)
+            assert fused.shape[1] == sum(widths), (fused.shape, widths)
             offsets = np.cumsum([0] + widths)
-            for j, (i, which, _p) in enumerate(packed_devs):
+            for j, (i, which, _tx, _b) in enumerate(steps):
                 fetched[(i, which)] = fused[:, offsets[j] : offsets[j + 1]]
-        elif len(live) == 1:
-            i, which, p = packed_devs[0]
-            fetched[(i, which)] = np.asarray(p, dtype=np.uint8)
 
         results = []
         for i, (transcript, snp_batch, indel_batch, empty_ids, host_ids,

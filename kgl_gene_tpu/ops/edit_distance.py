@@ -345,9 +345,20 @@ def pairwise_distance_matrix(
         # remote-attached device otherwise dominates the whole matrix.
         if n_pairs <= 65536:
             batch_pairs = max(batch_pairs, ((n_pairs + 511) // 512) * 512)
-        # Wide blocks amortise the kernel's per-row scalar overhead over 4x
-        # more lanes (the 32-pair default left most of the VPU idle).
-        block_b = 128 if n_pairs >= 128 else 32
+        # Wide blocks amortise the kernel's per-row scalar overhead over
+        # more lanes (the 32-pair default left most of the VPU idle). The
+        # optimum depends on band width (register pressure from the
+        # sliding-window loop carry): k >= 127 peaks at 512 rows/block
+        # (303 -> 509 GCUPS measured at the 32k-pair bench shape), narrow
+        # k = 63 bands regress past 256.
+        if band_k >= 127 and n_pairs >= 512:
+            block_b = 512
+        elif n_pairs >= 256:
+            block_b = 256
+        elif n_pairs >= 128:
+            block_b = 128
+        else:
+            block_b = 32
         handles = []
         for start in range(0, n_pairs, batch_pairs):
             bi = iu[start : start + batch_pairs]

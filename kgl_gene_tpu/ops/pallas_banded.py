@@ -73,36 +73,50 @@ def _prefix_min_chain(base: jnp.ndarray, width: int) -> jnp.ndarray:
     return g + col
 
 
-def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
-                   cap_ref, max_len: int, band_k: int, band_w: int,
-                   win_w: int, lead: int = B_LEAD, unroll: int = 128,
+def _banded_kernel(a_ref, *rest, max_len: int, band_k: int, band_w: int,
+                   win_w: int, n_groups: int, w_tiles: int,
+                   lead: int = B_LEAD, unroll: int = 128,
                    block_b: int = BLOCK_B, uniform_cap: bool = False):
-    """One block of BLOCK_B pairs.
+    """One (pair-block, row-group) grid step of the banded DP.
+
+    Grid is (B // block_b, n_groups) with the row-group axis fastest: the
+    band wavefront lives in scratch (prev_ref) and persists across the
+    group steps of one pair block; only a (block_b, 128) tile of `a` and
+    the w_tiles x 128-lane window of `b` stream into VMEM per step. The
+    windowed view is built by passing the SAME b buffer w_tiles times with
+    group-offset index maps — no host-side window expansion, and per-block
+    VMEM stays ~(5 + w_tiles) x 128 lanes regardless of sequence length,
+    which is what lets block_b reach 1024 rows (the whole-buffer layout
+    capped out at 256 inside ~16 MB VMEM).
 
     prev_ref: (B, band_w) band wavefront (band_w = 2k+1 padded to 128s).
-    b_ref: (B, B_LEAD + Wa + win_w) with b starting at lane B_LEAD.
     cap_ref: (B, band_w) capture accumulator — rows contribute
     ELEMENTWISE (no per-row cross-lane reduction); one reduction at the
-    end folds it to the (B,) result.
+    final group folds it to the (B,) result.
     uniform_cap: static promise that la == lb == max_len for every pair
     (the fused mutant-vs-reference path) — capture then reads the final
     wavefront row directly and the per-row capture work disappears.
     """
+    b_parts = rest[:w_tiles]
+    len_a_ref, len_b_ref, out_ref, prev_ref, cap_ref = rest[w_tiles:]
     M = max_len
     K = band_k
     Wp = band_w
     Wg = win_w
     BIG = jnp.int32(2 * M + 7)
+    g = pl.program_id(1)
 
     c_idx = jax.lax.broadcasted_iota(jnp.int32, (block_b, Wp), 1)
     la = len_a_ref[:, 0:1]
     lb = len_b_ref[:, 0:1]
 
-    # Row 0: D[0, j] = j for j >= 0 within the band, +inf outside.
-    j0 = c_idx - K
-    prev_ref[:] = jnp.where((j0 >= 0) & (j0 <= K), jnp.maximum(j0, 0), BIG)
-    if not uniform_cap:
-        cap_ref[:] = jnp.zeros((block_b, Wp), jnp.int32)
+    @pl.when(g == 0)
+    def _init():
+        # Row 0: D[0, j] = j for j >= 0 within the band, +inf outside.
+        j0 = c_idx - K
+        prev_ref[:] = jnp.where((j0 >= 0) & (j0 <= K), jnp.maximum(j0, 0), BIG)
+        if not uniform_cap:
+            cap_ref[:] = jnp.zeros((block_b, Wp), jnp.int32)
 
     def row_step(i, a_col, bwin):
         """One DP row; a_col (B, 1) = a[i-1]; bwin (B, Wg) has
@@ -127,46 +141,45 @@ def _banded_kernel(a_ref, b_ref, len_a_ref, len_b_ref, out_ref, prev_ref,
             hit = (la == i) & (c_idx == lb - la + K)
             cap_ref[:] = cap_ref[:] + jnp.where(hit, cur, 0)
 
-    Wa = a_ref.shape[1]
-    n_groups = Wa // 128
+    a_grp0 = a_ref[:].astype(jnp.int32)  # (block_b, 128) tile of this group
+    # b window for the group: b_buf[g*128 ..) where b_buf[l] = b[l - lead];
+    # assembled from the w_tiles offset views of the same buffer.
+    b_grp = jnp.concatenate(
+        [p[:].astype(jnp.int32) for p in b_parts], axis=1
+    )
+    # bwin[c] must equal b[g*128 + r - K + c] = b_grp[lead + r - K + c];
+    # initialise for r = 0 with a roll by -(lead - K), advance -1/row.
+    bwin0 = pltpu.roll(b_grp, (Wg - (lead - K)) % Wg, 1)
 
-    def group_body(g, _):
-        astart = pl.multiple_of(g * 128, 128)
-        a_grp0 = a_ref[:, pl.ds(astart, 128)].astype(jnp.int32)
-        # b window for the group: b_buf[g*128 ..) where b_buf[l] = b[l - lead].
-        b_grp = b_ref[:, pl.ds(astart, Wg)].astype(jnp.int32)
-        # bwin[c] must equal b[g*128 + r - K + c] = b_grp[lead + r - K + c];
-        # initialise for r = 0 with a roll by -(lead - K), advance -1/row.
-        bwin0 = pltpu.roll(b_grp, (Wg - (lead - K)) % Wg, 1)
+    g128 = g * 128
 
-        def row_body(r, carry):
-            a_grp, bwin = carry
-            i = g * 128 + r + 1  # 1-based DP row
+    def row_body(r, carry):
+        a_grp, bwin = carry
+        i = g128 + r + 1  # 1-based DP row
 
-            @pl.when(i <= M)
-            def _():
-                row_step(i, a_grp[:, 0:1], bwin)
+        @pl.when(i <= M)
+        def _():
+            row_step(i, a_grp[:, 0:1], bwin)
 
-            return (pltpu.roll(a_grp, 127, 1), pltpu.roll(bwin, Wg - 1, 1))
+        return (pltpu.roll(a_grp, 127, 1), pltpu.roll(bwin, Wg - 1, 1))
 
-        jax.lax.fori_loop(0, 128, row_body, (a_grp0, bwin0), unroll=unroll)
-        return 0
+    jax.lax.fori_loop(0, 128, row_body, (a_grp0, bwin0), unroll=unroll)
 
-    jax.lax.fori_loop(0, n_groups, group_body, 0)
-
-    if uniform_cap:
-        # la == lb == M: the final wavefront row IS row la; D[la, lb] sits
-        # at band cell c = K.
-        captured = jnp.sum(
-            jnp.where(c_idx == K, prev_ref[:], 0), axis=1, keepdims=True
-        )
-    else:
-        # Degenerate la == 0 pairs never hit a row capture (rows are
-        # 1-based): D[0, lb] = lb directly.
-        captured = jnp.where(
-            la == 0, lb, jnp.sum(cap_ref[:], axis=1, keepdims=True)
-        )
-    out_ref[:] = captured + jnp.zeros((block_b, 128), jnp.int32)
+    @pl.when(g == n_groups - 1)
+    def _capture():
+        if uniform_cap:
+            # la == lb == M: the final wavefront row IS row la; D[la, lb]
+            # sits at band cell c = K.
+            captured = jnp.sum(
+                jnp.where(c_idx == K, prev_ref[:], 0), axis=1, keepdims=True
+            )
+        else:
+            # Degenerate la == 0 pairs never hit a row capture (rows are
+            # 1-based): D[0, lb] = lb directly.
+            captured = jnp.where(
+                la == 0, lb, jnp.sum(cap_ref[:], axis=1, keepdims=True)
+            )
+        out_ref[:] = captured + jnp.zeros((block_b, 128), jnp.int32)
 
 
 @functools.partial(
@@ -178,34 +191,48 @@ def _banded_call(seq_a, seq_b_buf, len_a_col, len_b_col, max_len: int,
                  uniform_cap: bool = False):
     B, Wa = seq_a.shape
     lead, band_w, win_w, _ = band_layout(band_k, max_len)
-    grid = (B // block_b,)
-    Wb = seq_b_buf.shape[1]
+    n_groups = Wa // 128
+    w_tiles = win_w // 128
+    grid = (B // block_b, n_groups)
     kernel = functools.partial(
         _banded_kernel, max_len=max_len, band_k=band_k, band_w=band_w,
-        win_w=win_w, lead=lead, unroll=1 if interpret else 128,
+        win_w=win_w, n_groups=n_groups, w_tiles=w_tiles, lead=lead,
+        unroll=1 if interpret else 128,
         block_b=block_b, uniform_cap=uniform_cap,
     )
+
+    def _b_spec(t):
+        return pl.BlockSpec(
+            (block_b, 128), lambda i, g, t=t: (i, g + t),
+            memory_space=pltpu.VMEM,
+        )
+
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, Wa), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, Wb), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda i, g: (i, g),
+                         memory_space=pltpu.VMEM),
+            *[_b_spec(t) for t in range(w_tiles)],
+            pl.BlockSpec((block_b, 128), lambda i, g: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda i, g: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_b, 128), lambda i, g: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((block_b, band_w), jnp.int32),
             pltpu.VMEM((block_b, band_w), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=30 * B * max_len * band_w, bytes_accessed=3 * B * Wb * 4,
+            flops=30 * B * max_len * band_w,
+            bytes_accessed=3 * B * seq_b_buf.shape[1] * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(seq_a, seq_b_buf, len_a_col, len_b_col)
+    )(seq_a, *([seq_b_buf] * w_tiles), len_a_col, len_b_col)
 
 
 def banded_levenshtein(
