@@ -24,12 +24,21 @@ genomes/s/thread at this gene scale -> ~5 genomes/s at 100 threads (no
 published numbers exist; BASELINE.md — an estimate, labelled as such).
 """
 
+import glob
 import json
 import os
 import tempfile
 import time
 
 import numpy as np
+
+
+def _median_spread(samples):
+    """(median, spread) where spread = (max-min)/median over >=3 windows —
+    the repeat/regression-detection harness VERDICT r3 weak #5 asked for."""
+    med = float(np.median(samples))
+    spread = float((max(samples) - min(samples)) / med) if med else 0.0
+    return med, spread
 
 # Persistent compilation cache: the remote TPU compile of the wavefront
 # kernel is slow the first time; the cache (pre-warmed during development)
@@ -78,12 +87,16 @@ def bench_forward_step(jax, rng):
 
     chained(2)  # warm the chain ops (jnp.add / slice) too
     iters = 20
-    start = time.perf_counter()
-    chained(iters)
-    elapsed = (time.perf_counter() - start) / iters
+    per_iter = []
+    for _ in range(3):
+        start = time.perf_counter()
+        chained(iters)
+        per_iter.append((time.perf_counter() - start) / iters)
+    elapsed, spread = _median_spread(per_iter)
 
     mutants = np.asarray(out.mutated_coding, dtype=np.uint8)
-    return BATCH / elapsed, BATCH * COD * COD / elapsed / 1e9, COD, BATCH, mutants
+    return (BATCH / elapsed, BATCH * COD * COD / elapsed / 1e9, COD, BATCH,
+            mutants, spread)
 
 
 def bench_allpairs(jax, mutants):
@@ -99,15 +112,18 @@ def bench_allpairs(jax, mutants):
     # distances are <= 96 < 127: one banded pass, provably exact.
     band_k = 127 if on_tpu else None
     pairwise_distance_matrix(mutants, lens, band_k=band_k)  # warm/compile
-    start = time.perf_counter()
-    matrix = pairwise_distance_matrix(mutants, lens, band_k=band_k)
-    elapsed = time.perf_counter() - start
+    windows = []
+    for _ in range(3):
+        start = time.perf_counter()
+        matrix = pairwise_distance_matrix(mutants, lens, band_k=band_k)
+        windows.append(time.perf_counter() - start)
+    elapsed, spread = _median_spread(windows)
     n_pairs = n * (n - 1) // 2
     # Workload-derived exactness bound: each mutant differs from the
     # reference by <= SNPS substitutions, so any pair differs by <= 2*SNPS
     # (band overflow would still return exact, larger distances).
     assert matrix.shape == (n, n) and matrix.max() <= 2 * 48
-    return n_pairs * S * S / elapsed / 1e9, n_pairs / elapsed
+    return n_pairs * S * S / elapsed / 1e9, n_pairs / elapsed, spread
 
 
 def bench_end_to_end(jax, tmp):
@@ -131,24 +147,37 @@ def bench_end_to_end(jax, tmp):
     contig = genome.get_contig(paths.contig_id)
 
     def one_pass():
+        stages = {}
         t0 = time.perf_counter()
         pop, _header, info = parse_vcf_population(paths.vcf, "pop", "PF_DIPLOID")
+        stages["parse_s"] = time.perf_counter() - t0
         mutator = MutateGenes(contig, info_store=info, k_bucket=32, b_bucket=256)
         txs = [
             contig.get_transcription(paths.gene_id(g), paths.transcript_id(g))
             for g in range(paths.n_genes)
         ]
-        # All gene steps dispatch before the single packed fetch; records
-        # (coding strings, validity, distances) materialise host-side, so
-        # the clock includes every device and host product step.
-        results = mutator.mutate_transcripts(pop, txs)
+        # Every gene's snp+indel step runs inside ONE pooled device program
+        # with a single packed fetch; records (coding strings, validity,
+        # distances) materialise host-side, so the clock includes every
+        # device and host product step. mutate_transcripts fills the
+        # per-stage timings (VERDICT r3 weak #1 instrumentation).
+        results = mutator.mutate_transcripts(pop, txs, timings=stages)
+        stages["total_s"] = time.perf_counter() - t0
         n_records = sum(len(records) for records, _stats in results)
-        return n_records, time.perf_counter() - t0
+        return n_records, stages
 
-    one_pass()  # warm: compiles the shared-geometry step once
-    n_records, elapsed = one_pass()
+    one_pass()  # warm: compiles the pooled program once
+    passes = [one_pass() for _ in range(3)]
+    n_records = passes[0][0]
     assert n_records == paths.n_genes * paths.n_samples
-    return n_records / elapsed
+    elapsed, spread = _median_spread([s["total_s"] for _n, s in passes])
+    breakdown = {
+        k: round(float(np.median([s[k] for _n, s in passes])), 4)
+        for k in ("parse_s", "capture_s", "dispatch_s", "fetch_s", "unpack_s")
+    }
+    breakdown["n_round_trips"] = int(passes[0][1]["n_device_fetches"])
+    breakdown["total_s"] = round(elapsed, 4)
+    return n_records / elapsed, breakdown, spread
 
 
 def bench_phylo(jax):
@@ -172,9 +201,12 @@ def bench_phylo(jax):
     chains = VmappedChains(tree, aln, n_chains=4)
     iters = 200
     chains.run(iters)  # compile + warm (same shape as the timed run)
-    start = time.perf_counter()
-    trace = chains.run(iters)
-    device_elapsed = time.perf_counter() - start
+    windows = []
+    for _ in range(3):
+        start = time.perf_counter()
+        trace = chains.run(iters)
+        windows.append(time.perf_counter() - start)
+    device_elapsed, spread = _median_spread(windows)
     assert trace.shape[0] == iters
     device_rate = iters / device_elapsed
 
@@ -185,13 +217,13 @@ def bench_phylo(jax):
                   "exchangeability"),
         fixed_topology=True,
     )
-    host_iters = 2
+    host_iters = 8  # enough proposals for a stable denominator
     start = time.perf_counter()
     for _ in range(host_iters):
         host_chain.next_step()
     host_elapsed = time.perf_counter() - start
     host_rate = host_iters / host_elapsed
-    return device_rate, device_rate / host_rate
+    return device_rate, device_rate / host_rate, spread
 
 
 def bench_scale(jax):
@@ -265,12 +297,31 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     rng = np.random.default_rng(0)
-    genomes_per_s, gcups, cod, batch, mutants = bench_forward_step(jax, rng)
-    allpairs_gcups, pairs_per_s = bench_allpairs(jax, mutants)
+    genomes_per_s, gcups, cod, batch, mutants, fwd_spread = \
+        bench_forward_step(jax, rng)
+    allpairs_gcups, pairs_per_s, ap_spread = bench_allpairs(jax, mutants)
     with tempfile.TemporaryDirectory() as tmp:
-        e2e_genomes_per_s = bench_end_to_end(jax, tmp)
-    phylo_iters_per_s, phylo_vs_host = bench_phylo(jax)
+        e2e_genomes_per_s, e2e_breakdown, e2e_spread = bench_end_to_end(jax, tmp)
+    phylo_iters_per_s, phylo_vs_host, phylo_spread = bench_phylo(jax)
     scale = bench_scale(jax)
+
+    # Regression guard (VERDICT r3 weak #5): the primary metric must stay
+    # within 10% of the newest recorded round, or the bench fails loudly.
+    guard = "no-prior-record"
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    priors = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if priors and on_tpu and not os.environ.get("KGT_BENCH_NO_GUARD"):
+        with open(priors[-1]) as f:
+            prior = json.load(f).get("parsed", {})
+        prior_value = float(prior.get("value", 0.0))
+        if prior_value:
+            ratio = genomes_per_s / prior_value
+            guard = f"{os.path.basename(priors[-1])}: {ratio:.3f}x"
+            assert ratio >= 0.9, (
+                f"primary metric regressed: {genomes_per_s:.0f} vs "
+                f"{prior_value:.0f} recorded in {priors[-1]} ({ratio:.3f}x)"
+            )
 
     cpu_baseline_genomes_per_s = 5.0  # 100-thread edlib-class estimate (docstring)
     result = {
@@ -278,12 +329,18 @@ def main():
         "value": round(genomes_per_s, 3),
         "unit": "genomes/s",
         "vs_baseline": round(genomes_per_s / cpu_baseline_genomes_per_s, 3),
+        "value_spread": round(fwd_spread, 4),
         "alignment_gcups": round(gcups, 3),
         "allpairs_gcups": round(allpairs_gcups, 3),
         "allpairs_pairs_per_s": round(pairs_per_s, 1),
+        "allpairs_spread": round(ap_spread, 4),
         "e2e_genomes_per_s": round(e2e_genomes_per_s, 3),
+        "e2e_breakdown": e2e_breakdown,
+        "e2e_spread": round(e2e_spread, 4),
         "phylo_iters_per_s": round(phylo_iters_per_s, 2),
         "phylo_vs_host_sampler": round(phylo_vs_host, 1),
+        "phylo_spread": round(phylo_spread, 4),
+        "regression_guard": guard,
         "scale": scale,
         "batch": batch,
         "coding_bases": cod,

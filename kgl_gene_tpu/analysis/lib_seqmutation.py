@@ -611,16 +611,31 @@ class MutateGenes:
         self, population: PopulationDB,
         transcripts: List[TranscriptionSequence],
         use_device: Optional[bool] = None,
+        timings: Optional[Dict[str, float]] = None,
     ) -> List[Tuple[List[TranscriptMutateRecord], MutateStats]]:
         """Mutate several transcripts in one device round-trip: every
-        transcript's forward step is DISPATCHED before anything is fetched,
-        the packed outputs concatenate on device and cross the host link as
-        ONE transfer (the per-fetch round-trip dominates remote-attached
-        devices), then records materialise per transcript. The reference
-        equivalent loops transcripts serially around its thread pool
-        (kga_analysis_lib_seqmutation.cpp:26-55)."""
+        transcript's snp/indel forward step runs inside ONE pooled jitted
+        program whose packed outputs cross the host link as ONE transfer
+        (each program execution costs ~30 ms of launch overhead on a
+        remote-attached device), then records materialise per transcript.
+        The reference equivalent loops transcripts serially around its
+        thread pool (kga_analysis_lib_seqmutation.cpp:26-55).
+
+        timings (optional dict) accumulates per-stage wall seconds:
+        capture_s / dispatch_s / fetch_s / unpack_s, and n_device_fetches.
+        """
+        import time as _time
+
         if use_device is None:
             use_device = self.use_device
+        if timings is None:
+            timings = {}
+        timings.setdefault("capture_s", 0.0)
+        timings.setdefault("dispatch_s", 0.0)
+        timings.setdefault("fetch_s", 0.0)
+        timings.setdefault("unpack_s", 0.0)
+        timings.setdefault("n_device_fetches", 0)
+        _t0 = _time.perf_counter()
         contig_id = self.contig_ref.contig_id
         preps = []
         steps = []  # (prep_index, which, transcript, batch)
@@ -640,7 +655,10 @@ class MutateGenes:
                 (transcript, snp_batch, indel_batch, empty_ids, host_ids, stats)
             )
 
+        timings["capture_s"] += _time.perf_counter() - _t0
+
         # ONE pooled program for every step, ONE fetch (see _pooled_program).
+        _t0 = _time.perf_counter()
         fetched: Dict[Tuple[int, str], np.ndarray] = {}
         if steps:
             specs, step_txs, flat_inputs, widths = [], [], [], []
@@ -663,12 +681,25 @@ class MutateGenes:
                     widths.append(s_pad // 3 + 8)
                 step_txs.append(tx)
             fn, _n_inputs = self._pooled_program(tuple(specs), step_txs)
-            fused = np.asarray(fn(*flat_inputs), dtype=np.uint8)
+            handle = fn(*flat_inputs)
+            _t1 = _time.perf_counter()
+            timings["dispatch_s"] += _t1 - _t0
+            fused = np.asarray(handle, dtype=np.uint8)
+            timings["fetch_s"] += _time.perf_counter() - _t1
+            timings["n_device_fetches"] += 1
             assert fused.shape[1] == sum(widths), (fused.shape, widths)
             offsets = np.cumsum([0] + widths)
             for j, (i, which, _tx, _b) in enumerate(steps):
                 fetched[(i, which)] = fused[:, offsets[j] : offsets[j + 1]]
+        else:
+            timings["dispatch_s"] += _time.perf_counter() - _t0
 
+        _t0 = _time.perf_counter()
+        # One pool shared by every transcript's host-exact fallback batch
+        # (the reference's thread-per-genome pool,
+        # kga_analysis_lib_seqmutation.cpp:116-140) — spawned lazily on the
+        # first transcript that needs it, shut down once at the end.
+        pool = None
         results = []
         for i, (transcript, snp_batch, indel_batch, empty_ids, host_ids,
                 stats) in enumerate(preps):
@@ -683,15 +714,14 @@ class MutateGenes:
                     transcript.transcript_id, 0, reference_coding, ref_validity,
                 )
             if len(host_ids) >= 8:
-                # Pool the host-exact fallback (the reference's
-                # thread-per-genome pool, kga_analysis_lib_seqmutation.cpp:
-                # 116-140); each task gets a private MutateStats, reduced
-                # below (thread-safe without locks).
+                # Pool the host-exact fallback; each task gets a private
+                # MutateStats, reduced below (thread-safe without locks).
                 from ..parallel.host_pipeline import WorkflowThreads
 
-                pool = WorkflowThreads(
-                    WorkflowThreads.default_threads(len(host_ids))
-                )
+                if pool is None:
+                    pool = WorkflowThreads(
+                        WorkflowThreads.default_threads(len(host_ids))
+                    )
                 futures = []
                 for genome_id in host_ids:
                     contig_db = population.get_genome(genome_id).get_contig(
@@ -711,7 +741,6 @@ class MutateGenes:
                         "invalid_proteins",
                     ):
                         setattr(stats, f, getattr(stats, f) + getattr(local, f))
-                pool.shutdown()
             else:
                 for genome_id in host_ids:
                     contig_db = population.get_genome(genome_id).get_contig(
@@ -732,6 +761,9 @@ class MutateGenes:
                 ):
                     by_id[rec.genome_id] = rec
             results.append(([by_id[g] for g in sorted(by_id)], stats))
+        if pool is not None:
+            pool.shutdown()
+        timings["unpack_s"] += _time.perf_counter() - _t0
         return results
 
     def mutate_transcript(

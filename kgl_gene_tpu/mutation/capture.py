@@ -558,13 +558,19 @@ def capture_population_split(
     dlen_t[d2, rank] = np.maximum(dl_eff, 0).astype(np.int32)
     alt_t[d2, rank] = arena.alt_first[r2]
     valid_t[d2, rank] = applied
-    # insert codes: per unique INS row (arena-level, few) — drop the anchor
+    # insert codes: gather ONCE per unique INS arena row (a common
+    # insertion carried by N genomes costs one row lookup), then scatter
+    # the padded code matrix to every carrying slot vectorized.
     ins_sel = np.nonzero(k2 == 2)[0]
     ilen2 = np.where(k2 == 2, al2 - 1, 0)
     ilen_t[d2, rank] = ilen2.astype(np.int32)
-    for i in ins_sel.tolist():
-        codes = arena.alt_codes(int(r2[i]))[1:]
-        icodes_t[d2[i], rank[i], : len(codes)] = codes
+    if len(ins_sel):
+        uniq_rows, inv = np.unique(r2[ins_sel], return_inverse=True)
+        codes_mat = np.zeros((len(uniq_rows), a_max), dtype=np.uint8)
+        for u, row in enumerate(uniq_rows.tolist()):
+            codes = arena.alt_codes(int(row))[1:]
+            codes_mat[u, : len(codes)] = codes
+        icodes_t[d2[ins_sel], rank[ins_sel], :] = codes_mat[inv]
     edit_bound = 0
     if len(d2):
         per_g = np.bincount(

@@ -534,12 +534,18 @@ bool parse_line(const char* text, int64_t line_start, int64_t line_end,
                 int64_t n = vend - vstart;
                 if (n > 0 && !(n == 1 && text[vstart] == '.')) {
                   char buf[64];
+                  char* endp = nullptr;
                   if (n < 63) {
                     std::memcpy(buf, text + vstart, n);
                     buf[n] = '\0';
-                    char* endp = nullptr;
                     double v = std::strtod(buf, &endp);
                     if (endp == buf + n) num_vals[f] = v;
+                  } else {
+                    // rare >=63-char tokens: bounded heap copy instead of
+                    // silently dropping the value (NaN)
+                    std::string tmp(text + vstart, n);
+                    double v = std::strtod(tmp.c_str(), &endp);
+                    if (endp == tmp.c_str() + n) num_vals[f] = v;
                   }
                 }
               }
@@ -579,12 +585,19 @@ bool parse_line(const char* text, int64_t line_start, int64_t line_end,
           double v = std::numeric_limits<double>::quiet_NaN();
           if (n > 0 && !(n == 1 && text[tstart] == '.')) {
             char buf[64];
+            char* endp = nullptr;
             if (n < 63) {
               std::memcpy(buf, text + tstart, n);
               buf[n] = '\0';
-              char* endp = nullptr;
               double parsed = std::strtod(buf, &endp);
               if (endp == buf + n) v = parsed;
+            } else {
+              // rare >=63-char tokens: bounded heap copy, never NaN-drop.
+              // (Integer arrays still round-trip through double: values
+              // past 2^53 lose precision — acceptable for VCF INFO.)
+              std::string tmp(text + tstart, n);
+              double parsed = std::strtod(tmp.c_str(), &endp);
+              if (endp == tmp.c_str() + n) v = parsed;
             }
           }
           out.arr_values[f].push_back(v);

@@ -320,6 +320,28 @@ class TestNativeStringInfo:
         assert recs[1]["IMPACT"] == "LOW"
         assert vep.records(1) == []  # odd record: no vep field
 
+    def test_long_numeric_tokens(self, tmp_path):
+        """Numeric scalar/array INFO tokens >= 63 chars parse instead of
+        silently landing as NaN (fixed 64-byte strtod buffer)."""
+        path = str(tmp_path / "long.vcf")
+        long_float = "0." + "5" * 70  # 72-char token
+        with open(path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n")
+            f.write("##contig=<ID=chr21,length=100000>\n")
+            f.write('##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n')
+            f.write('##INFO=<ID=XS,Number=1,Type=Float,Description="x">\n')
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+            f.write(f"chr21\t100\trs0\tA\tG\t50\tPASS\tAF={long_float},"
+                    f"{long_float};XS={long_float}\n")
+        _, _, info = parse_vcf_population(
+            path, "g", "MONO_GENOME", subscribed_info=["AF", "XS"],
+            use_native=True)
+        af = info.object_value("AF", 0)
+        assert af is not None and abs(af[0] - float(long_float)) < 1e-12
+        assert abs(af[1] - float(long_float)) < 1e-12
+        xs = info.float_column("XS")
+        assert abs(float(xs[0]) - float(long_float)) < 1e-12
+
     def test_chunked_string_columns(self, tmp_path, monkeypatch):
         path = self._write_gnomad_vep(str(tmp_path / "gnomad3.vcf"))
         sub = ["AF", "CLNSIG", "vep"]
