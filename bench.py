@@ -240,7 +240,7 @@ def bench_scale(jax):
 
     from kgl_gene_tpu.io.synthetic import generate_scale_vcf
     from kgl_gene_tpu.io.vcf import parse_vcf_population
-    from kgl_gene_tpu.parallel.mesh import sample_mesh, sharded_inbreeding
+    from kgl_gene_tpu.parallel.mesh import sample_mesh, streamed_inbreeding
     from kgl_gene_tpu.variant.columnar import VariantMajorCSR
 
     n_records = int(os.environ.get("KGT_SCALE_RECORDS", 1_000_000))
@@ -258,20 +258,25 @@ def bench_scale(jax):
     pop, _header, _info = parse_vcf_population(path, "scale", "PF_DIPLOID",
                                                subscribed_info=["AF"])
     ingest_s = time.perf_counter() - start
+    # Per-phase statistics (VERDICT r3 weak #3: one opaque stats number
+    # hid a host-bound build): CSR transpose build, host AF/het-hom
+    # bincounts, then inbreeding streamed through the chip across ALL
+    # variants (chunked uint8 dense blocks, device-resident accumulators,
+    # one result fetch — parallel/mesh.py streamed_inbreeding).
     start = time.perf_counter()
     csr = VariantMajorCSR(pop)
+    csr_s = time.perf_counter() - start
+    start = time.perf_counter()
     af = csr.allele_frequencies()
     het, hom = csr.het_hom_by_genome()
-    # Device inbreeding over a dense variant window (chunked CSR export).
-    informative = np.nonzero((af > 0.01) & (af < 0.99))[0]
-    f_hat = None
-    if len(informative):
-        v_lo = int(informative[0])
-        v_hi = min(v_lo + 120_000, int(informative[-1]) + 1)
-        z = csr.dense_block(v_lo, v_hi)  # (G, window)
-        mesh = sample_mesh(len(jax.devices()))
-        f_hat = sharded_inbreeding(z, af[v_lo:v_hi], mesh, algorithm="Simple")
-    stats_s = time.perf_counter() - start
+    af_s = time.perf_counter() - start
+    start = time.perf_counter()
+    mesh = sample_mesh(len(jax.devices()))
+    f_all = streamed_inbreeding(csr, af, mesh,
+                                algorithms=("Simple", "RitlandLocus"))
+    f_hat = f_all["Simple"]
+    inbreed_s = time.perf_counter() - start
+    stats_s = csr_s + af_s + inbreed_s
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     assert rss_gb < 48.0, f"scale ingest RSS {rss_gb:.1f} GB exceeds cap"
     assert pop.genome_count() == n_samples
@@ -284,7 +289,11 @@ def bench_scale(jax):
         "ingest_mb_per_s": round(size_mb / ingest_s, 1),
         "ingest_cells_per_s": round(n_records * n_samples / ingest_s, 0),
         "stats_s": round(stats_s, 2),
-        "mean_inbreeding_f": None if f_hat is None else round(float(np.nanmean(f_hat)), 4),
+        "csr_s": round(csr_s, 2),
+        "af_s": round(af_s, 2),
+        "inbreed_s": round(inbreed_s, 2),
+        "inbreed_variants": int(csr.variant_count),
+        "mean_inbreeding_f": round(float(np.nanmean(f_hat)), 4),
         "rss_gb": round(rss_gb, 2),
     }
 

@@ -73,9 +73,9 @@ class ContigDB:
             return
         # Integer/float count columns keep their incoming width (the native
         # parser lands int32 — forcing int64 copied every column; consumers
-        # are dtype-agnostic).
+        # are dtype-agnostic, and arena rows always fit int32).
         self._blocks.append({
-            "row": np.asarray(rows, dtype=np.int64),
+            "row": np.asarray(rows),
             "phase": np.asarray(phase, dtype=np.uint8),
             "ref_count": np.asarray(ref_count),
             "alt_count": np.asarray(alt_count),
