@@ -258,6 +258,52 @@ def bench_scale(jax):
     pop, _header, _info = parse_vcf_population(path, "scale", "PF_DIPLOID",
                                                subscribed_info=["AF"])
     ingest_s = time.perf_counter() - start
+
+    # bgzip-compressed ingest through the native streaming decompressor
+    # (the reference's flagship input mode, kel_io/kel_bzip_workflow.h:42;
+    # no size gate — slab framing + parallel inflate + prefetch). The .bgz
+    # corpus is compressed once and cached beside the plain one.
+    bgz = None
+    if not os.environ.get("KGT_SCALE_SKIP_BGZ"):
+        bgz_path = path + ".bgz"
+        if not os.path.isfile(bgz_path):
+            with open(path, "rb") as src:
+                tmp_bgz = bgz_path + ".tmp"
+                with open(tmp_bgz, "wb") as dst:
+                    import zlib as _zlib
+
+                    while True:
+                        chunk = src.read(65280)
+                        if not chunk:
+                            break
+                        co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+                        comp = co.compress(chunk) + co.flush()
+                        bsize = len(comp) + 26
+                        dst.write(
+                            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                            + b"\x06\x00BC\x02\x00"
+                            + (bsize - 1).to_bytes(2, "little") + comp
+                            + _zlib.crc32(chunk).to_bytes(4, "little")
+                            + len(chunk).to_bytes(4, "little")
+                        )
+                    dst.write(bytes.fromhex(
+                        "1f8b08040000000000ff0600424302001b0003000000000000000000"
+                    ))
+                os.replace(tmp_bgz, bgz_path)
+        bgz_mb = os.path.getsize(bgz_path) / 1e6
+        start = time.perf_counter()
+        pop_b, _h, _i = parse_vcf_population(bgz_path, "scale_bgz",
+                                             "PF_DIPLOID",
+                                             subscribed_info=["AF"])
+        bgz_s = time.perf_counter() - start
+        assert pop_b.genome_count() == n_samples
+        del pop_b
+        bgz = {
+            "compressed_mb": round(bgz_mb, 1),
+            "ingest_s": round(bgz_s, 2),
+            "compressed_mb_per_s": round(bgz_mb / bgz_s, 1),
+            "decompressed_mb_per_s": round(size_mb / bgz_s, 1),
+        }
     # Per-phase statistics (VERDICT r3 weak #3: one opaque stats number
     # hid a host-bound build): CSR transpose build, host AF/het-hom
     # bincounts, then inbreeding streamed through the chip across ALL
@@ -294,6 +340,7 @@ def bench_scale(jax):
         "inbreed_s": round(inbreed_s, 2),
         "inbreed_variants": int(csr.variant_count),
         "mean_inbreeding_f": round(float(np.nanmean(f_hat)), 4),
+        "bgz": bgz,
         "rss_gb": round(rss_gb, 2),
     }
 

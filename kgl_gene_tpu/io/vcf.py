@@ -803,29 +803,27 @@ class GnomadDiploidParser(_BaseVCFParser):
 # native end-to-end ingest (records never touch Python)
 # --------------------------------------------------------------------------- #
 _NATIVE_MODES = {"PF_DIPLOID": 0, "PHASED_DIPLOID": 1, "MONO_GENOME": 2}
-# Whole-file native parse is gated on the compressed file size fitting
-# comfortably in host RAM; larger files use the streaming Python loop.
-_NATIVE_MAX_BYTES = int(os.environ.get("KGT_NATIVE_INGEST_MAX_BYTES", 2 << 30))
 
 
 def _open_decompressed_stream(path: str):
     """Binary stream of decompressed bytes for any supported container."""
     import bz2 as _bz2
     import gzip as _gzip
-    import io as _io
 
     from .streams import BGZFReader, is_bgzf
 
     lower = path.lower()
     if lower.endswith((".bgz", ".bgzf")) or (lower.endswith(".gz") and is_bgzf(path)):
-        # Whole-file parallel inflate when it fits comfortably; streaming
-        # parallel-block reader beyond.
-        if os.path.getsize(path) < _NATIVE_MAX_BYTES:
-            from ..native import bgzf_decompress
+        # Native streaming slab decompressor (parallel inflate + one slab
+        # of prefetch, bounded memory at ANY size — the old 2 GiB
+        # whole-file gate is gone); Python-threaded reader as fallback.
+        from ..native import NativeBGZFStream, native_available
 
-            data = bgzf_decompress(path)
-            if data is not None:
-                return _io.BytesIO(data)
+        if native_available() and not os.environ.get("KGT_DISABLE_NATIVE_INGEST"):
+            try:
+                return NativeBGZFStream(path)
+            except OSError:
+                pass
         return BGZFReader(path)
     if lower.endswith(".gz"):
         return _gzip.open(path, "rb")

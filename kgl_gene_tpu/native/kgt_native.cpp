@@ -126,9 +126,188 @@ inline int parse_gt_parts(const char* p, const char* end, int64_t* parts,
   return n;
 }
 
+// Like split_blocks, but tolerates a trailing PARTIAL block: frames every
+// complete block and reports how many input bytes they consumed. Returns
+// false only on a malformed header within the consumed region.
+bool split_blocks_partial(const uint8_t* data, size_t size,
+                          std::vector<BgzfBlock>& blocks, size_t& consumed) {
+  size_t pos = 0;
+  while (pos + 18 <= size) {
+    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return false;
+    uint16_t xlen = static_cast<uint16_t>(data[pos + 10]) |
+                    (static_cast<uint16_t>(data[pos + 11]) << 8);
+    size_t extra = pos + 12;
+    size_t extra_end = extra + xlen;
+    if (extra_end + 8 > size) break;  // header spills past the slab
+    uint32_t bsize = 0;
+    size_t sub = extra;
+    while (sub + 4 <= extra_end) {
+      uint8_t si1 = data[sub], si2 = data[sub + 1];
+      uint16_t slen = static_cast<uint16_t>(data[sub + 2]) |
+                      (static_cast<uint16_t>(data[sub + 3]) << 8);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        bsize = (static_cast<uint32_t>(data[sub + 4]) |
+                 (static_cast<uint32_t>(data[sub + 5]) << 8)) + 1;
+      }
+      sub += 4 + slen;
+    }
+    if (bsize == 0) return false;
+    if (pos + bsize > size) break;  // incomplete block payload
+    size_t comp_begin = extra_end;
+    size_t comp_end = pos + bsize - 8;  // crc32 + isize trailer
+    BgzfBlock block;
+    block.compressed.assign(data + comp_begin, data + comp_end);
+    std::memcpy(&block.crc32_expect, data + comp_end, 4);
+    std::memcpy(&block.isize, data + comp_end + 4, 4);
+    blocks.push_back(std::move(block));
+    pos += bsize;
+  }
+  consumed = pos;
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming BGZF reader: slab-at-a-time framing + parallel inflate with one
+// slab of prefetch (the TPU-era counterpart of the reference's
+// 1-reader -> 15-inflater -> ordered-readLine workflow,
+// kel_io/kel_bzip_workflow.h:42 / kel_bzip_workflow.cpp). Bounded memory:
+// one compressed slab + two decompressed slabs in flight, any file size.
+// ---------------------------------------------------------------------------
+struct BgzfSlab {
+  std::vector<uint8_t> data;  // decompressed bytes
+  bool ok = true;
+  bool last = false;          // file exhausted after this slab
+};
+
+struct KgtBgzfStream {
+  FILE* f = nullptr;
+  int workers = 1;
+  size_t slab_bytes = 24u << 20;
+  bool verify = false;
+  std::vector<uint8_t> carry;  // compressed tail (partial trailing block)
+  BgzfSlab current;
+  size_t pos = 0;              // consumed bytes of current.data
+  bool have_pending = false;
+  std::future<BgzfSlab> pending;
+  bool error = false;
+  bool done = false;
+
+  BgzfSlab load_slab() {
+    BgzfSlab res;
+    size_t old = carry.size();
+    carry.resize(old + slab_bytes);
+    size_t got = std::fread(carry.data() + old, 1, slab_bytes, f);
+    carry.resize(old + got);
+    res.last = got < slab_bytes;
+    std::vector<BgzfBlock> blocks;
+    size_t consumed = 0;
+    if (!split_blocks_partial(carry.data(), carry.size(), blocks, consumed) ||
+        (res.last && consumed != carry.size())) {
+      res.ok = false;  // malformed framing or trailing garbage at EOF
+      return res;
+    }
+    std::vector<size_t> offsets(blocks.size() + 1, 0);
+    for (size_t i = 0; i < blocks.size(); ++i)
+      offsets[i + 1] = offsets[i] + blocks[i].isize;
+    res.data.resize(offsets.back());
+    std::atomic<size_t> next{0};
+    std::atomic<bool> ok{true};
+    bool check = verify;
+    auto work = [&] {
+      size_t i;
+      while ((i = next.fetch_add(1)) < blocks.size()) {
+        uint8_t* dst = res.data.data() + offsets[i];
+        if (!inflate_block(blocks[i], dst)) {
+          ok.store(false);
+          continue;
+        }
+        if (check && blocks[i].isize) {
+          uint32_t crc = static_cast<uint32_t>(
+              ::crc32(0L, dst, blocks[i].isize));
+          if (crc != blocks[i].crc32_expect) ok.store(false);
+        }
+      }
+    };
+    int n = std::max(1, workers);
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n; ++t) pool.emplace_back(work);
+    work();
+    for (auto& th : pool) th.join();
+    res.ok = ok.load();
+    carry.erase(carry.begin(), carry.begin() + consumed);
+    return res;
+  }
+
+  void prefetch() {
+    if (!have_pending && !done) {
+      pending = std::async(std::launch::async, [this] { return load_slab(); });
+      have_pending = true;
+    }
+  }
+
+  // Fill out[0..cap); returns bytes written, 0 at EOF, -1 on error.
+  long long read(char* out, long long cap) {
+    if (error) return -1;
+    long long written = 0;
+    while (written < cap) {
+      if (pos < current.data.size()) {
+        size_t take = std::min<size_t>(current.data.size() - pos,
+                                       static_cast<size_t>(cap - written));
+        std::memcpy(out + written, current.data.data() + pos, take);
+        pos += take;
+        written += static_cast<long long>(take);
+        continue;
+      }
+      if (done) break;
+      if (current.last) {
+        done = true;
+        break;
+      }
+      if (!have_pending) prefetch();
+      current = pending.get();
+      have_pending = false;
+      pos = 0;
+      if (!current.ok) {
+        error = true;
+        return -1;
+      }
+      if (!current.last) prefetch();  // keep one slab in flight
+    }
+    return written;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* kgt_bgzf_open(const char* path, int n_threads, long long slab_bytes,
+                    int verify) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* s = new KgtBgzfStream();
+  s->f = f;
+  s->workers = n_threads > 0
+                   ? n_threads
+                   : std::max(1u, std::thread::hardware_concurrency());
+  if (slab_bytes > 0) s->slab_bytes = static_cast<size_t>(slab_bytes);
+  s->verify = verify != 0;
+  s->prefetch();
+  return s;
+}
+
+long long kgt_bgzf_read(void* handle, char* out, long long cap) {
+  if (!handle) return -1;
+  return static_cast<KgtBgzfStream*>(handle)->read(out, cap);
+}
+
+void kgt_bgzf_close(void* handle) {
+  if (!handle) return;
+  auto* s = static_cast<KgtBgzfStream*>(handle);
+  if (s->have_pending) s->pending.wait();
+  std::fclose(s->f);
+  delete s;
+}
 
 // Decompress a whole BGZF file with parallel block inflate.
 // Returns a malloc'd buffer (caller frees with kgt_free); *out_size is the

@@ -147,30 +147,41 @@ def sharded_inbreeding(
 
 def _inbreed_moments(packed, p_block, acc):
     """Accumulate per-genome inbreeding moment partials for one 2-bit
-    packed zygosity chunk: packed (G, W/4) uint8 carries 4 loci/byte (link
-    traffic is the binding resource on a remote-attached device)."""
+    packed zygosity chunk: packed (W/4, G) uint8 carries 4 loci/byte in
+    VARIANT-major orientation (link traffic is the binding resource on a
+    remote-attached device, and the host-side densify streams
+    sequentially only in this layout — see dense_block_t). Reductions run
+    over the variant axis; acc is (G, 5)."""
     from ..stats.inbreeding import _MIN_RITLAND_FREQ
 
-    G = packed.shape[0]
-    z = jnp.stack(
-        [(packed >> s) & 3 for s in (0, 2, 4, 6)], axis=2
-    ).reshape(G, -1).astype(jnp.int32)
-    p = p_block.astype(jnp.float32)
-    valid = (p > 0.0) & (p < 1.0)
-    q = 1.0 - p
-    first = jnp.where(z == 0, q[None, :], p[None, :])
-    is_hom = (z == 0) | (z == 2)
-    hom_ok = is_hom & (first > _MIN_RITLAND_FREQ) & valid[None, :]
-    het_ok = (z == 1) & valid[None, :]
-    r_contrib = jnp.sum(
-        jnp.where(hom_ok, 1.0 / jnp.where(hom_ok, first, 1.0) - 1.0, 0.0)
-        - het_ok.astype(jnp.float32),
-        axis=1,
-    )
-    r_count = jnp.sum(hom_ok | het_ok, axis=1).astype(jnp.float32)
-    s_obs = jnp.sum(is_hom & valid[None, :], axis=1).astype(jnp.float32)
-    s_exp = jnp.sum(jnp.where(valid, p * p + q * q, 0.0))
-    s_n = jnp.sum(valid).astype(jnp.float32)
+    G = packed.shape[1]
+    r_contrib = jnp.zeros((G,), jnp.float32)
+    r_count = jnp.zeros((G,), jnp.float32)
+    s_obs = jnp.zeros((G,), jnp.float32)
+    s_exp = jnp.float32(0.0)
+    s_n = jnp.float32(0.0)
+    # Four independent slab passes (one per 2-bit lane) instead of a
+    # stacked unpack->reshape: the giant reshaped intermediate made XLA's
+    # fusion pass pathologically slow to COMPILE (~4 min), and a
+    # compile-cache miss then dominated the whole analysis.
+    for j, s in enumerate((0, 2, 4, 6)):
+        z = ((packed >> s) & 3).astype(jnp.int32)      # (W/4, G)
+        p = p_block[j::4].astype(jnp.float32)          # (W/4,)
+        valid = (p > 0.0) & (p < 1.0)
+        q = 1.0 - p
+        first = jnp.where(z == 0, q[:, None], p[:, None])
+        is_hom = (z == 0) | (z == 2)
+        hom_ok = is_hom & (first > _MIN_RITLAND_FREQ) & valid[:, None]
+        het_ok = (z == 1) & valid[:, None]
+        r_contrib = r_contrib + jnp.sum(
+            jnp.where(hom_ok, 1.0 / jnp.where(hom_ok, first, 1.0) - 1.0, 0.0)
+            - het_ok.astype(jnp.float32),
+            axis=0,
+        )
+        r_count = r_count + jnp.sum(hom_ok | het_ok, axis=0).astype(jnp.float32)
+        s_obs = s_obs + jnp.sum(is_hom & valid[:, None], axis=0).astype(jnp.float32)
+        s_exp = s_exp + jnp.sum(jnp.where(valid, p * p + q * q, 0.0))
+        s_n = s_n + jnp.sum(valid).astype(jnp.float32)
     upd = jnp.stack(
         [r_contrib, r_count, s_obs,
          jnp.full_like(s_obs, s_exp), jnp.full_like(s_obs, s_n)],
@@ -195,7 +206,7 @@ def _inbreed_accumulator(mesh: Mesh):
     axis = mesh.axis_names[0]
     return jax.jit(functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(None), P(axis, None)),
+        in_specs=(P(None, axis), P(None), P(axis, None)),
         out_specs=P(axis, None),
     )(_inbreed_moments))
 
@@ -246,12 +257,14 @@ def streamed_inbreeding(
     minor_freq = np.asarray(minor_freq, dtype=np.float32)
     for v_lo in range(0, V, block_variants):
         v_hi = min(v_lo + block_variants, V)
-        block = csr.dense_block(v_lo, v_hi)  # (G, width) uint8
+        block = csr.dense_block_t(v_lo, v_hi)  # (width, G) uint8
         if v_hi - v_lo < block_variants:  # static shape for the jit
-            block = np.pad(block, ((0, 0), (0, block_variants - (v_hi - v_lo))))
-        # 2-bit pack, 4 loci/byte: zygosity codes are {0,1,2}
-        packed = (block[:, 0::4] | (block[:, 1::4] << 2)
-                  | (block[:, 2::4] << 4) | (block[:, 3::4] << 6))
+            block = np.pad(block, ((0, block_variants - (v_hi - v_lo)), (0, 0)))
+        # 2-bit pack, 4 loci/byte along the variant axis
+        packed = (block[0::4] | (block[1::4] << 2)
+                  | (block[2::4] << 4) | (block[3::4] << 6))
+        if Gp > G:
+            packed = np.pad(packed, ((0, 0), (0, Gp - G)))
         p_blk = minor_freq[v_lo:v_hi]
         if len(p_blk) < block_variants:
             # pad with p = 0 -> invalid loci, excluded from every sum
@@ -259,7 +272,9 @@ def streamed_inbreeding(
         if n_dev == 1:
             z_dev = jax.device_put(packed)
         else:
-            z_dev = shard_samples(packed, mesh)
+            z_dev = jax.device_put(
+                packed, NamedSharding(mesh, P(None, axis))
+            )
         acc = _accumulate(z_dev, jnp.asarray(p_blk), acc)
     a = np.asarray(acc)[:G]
     r_contrib, r_count, s_obs, s_exp, s_n = (a[:, i] for i in range(5))

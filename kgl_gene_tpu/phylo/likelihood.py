@@ -185,11 +185,15 @@ class CachedPartialsLikelihood:
         backend.on_accept() / backend.on_reject()
     """
 
-    def __init__(self, alignment_codes: np.ndarray, n_rate_categories: int = 1):
+    def __init__(self, alignment_codes: np.ndarray, n_rate_categories: int = 1,
+                 tips: Optional[jnp.ndarray] = None):
         self._codes = alignment_codes
         self.n_rates = n_rate_categories
         self.n_sites = alignment_codes.shape[1]
-        self.tips = jnp.asarray(leaf_partials(alignment_codes))
+        # tips may be shared across heated chains (Strom::initChains gives
+        # every chain a Beagle instance over the SAME data): one device
+        # copy of the (n_leaves, n_sites, 4) tip partials serves them all.
+        self.tips = jnp.asarray(leaf_partials(alignment_codes)) if tips is None else tips
         self.n_leaves = alignment_codes.shape[0]
         self._committed = None  # (topo_key, model_key, arrays, partials, child_P, k_of_node)
         self._pending = None
@@ -197,6 +201,14 @@ class CachedPartialsLikelihood:
         self._jit_path_cache: Dict[Tuple, object] = {}
         self.full_evals = 0
         self.path_evals = 0
+        # Static-shape pads: topology moves (Larget-Simon, polytomy) change
+        # n_internals / n_nodes / max arity per proposal; padding every
+        # full-recompute call to fixed buckets keeps ONE compiled
+        # executable across the whole topology-moving run (a fresh XLA
+        # compile per encountered shape would dominate on a
+        # remote-compile-service backend).
+        self._n_int_max = max(self.n_leaves, 2)
+        self._n_nodes_max = 2 * self.n_leaves + 1
 
     # -- keys ---------------------------------------------------------------
     @staticmethod
@@ -219,17 +231,21 @@ class CachedPartialsLikelihood:
             if hasattr(model, "kappa") else 0.0,
         )
 
-    # -- jitted programs (cached per topology shape) ------------------------
-    def _full_fn(self, n_nodes, n_int, max_children):
-        key = ("full", n_nodes, n_int, max_children)
+    # -- jitted programs (cached per child-arity bucket) --------------------
+    def _full_fn(self, c_pad):
+        key = ("full", c_pad)
         fn = self._jit_full_cache.get(key)
         if fn is None:
+            n_nodes_max = self._n_nodes_max
+            n_int_max = self._n_int_max
+            dead = n_nodes_max - 1  # reserved row, never a real node
 
             @jax.jit
-            def _full(child_index, internal_index, root_index, child_P,
-                      frequencies, rate_weights, p_invariant, constant_like):
+            def _full(child_index, internal_index, n_int, root_index,
+                      child_P, frequencies, rate_weights, p_invariant,
+                      constant_like):
                 partials = jnp.ones(
-                    (n_nodes, self.n_rates, self.n_sites, N_STATES)
+                    (n_nodes_max, self.n_rates, self.n_sites, N_STATES)
                 )
                 partials = partials.at[: self.n_leaves].set(
                     jnp.broadcast_to(
@@ -239,17 +255,21 @@ class CachedPartialsLikelihood:
                 )
 
                 def step(partials, k):
+                    live = k < n_int
                     acc = jnp.ones((self.n_rates, self.n_sites, N_STATES))
-                    for c in range(max_children):
+                    for c in range(c_pad):
                         child = child_index[k, c]
                         valid = child >= 0
                         cp = partials[jnp.maximum(child, 0)]
                         lifted = jnp.einsum("rij,rsj->rsi", child_P[k, c], cp)
                         acc = acc * jnp.where(valid, lifted, 1.0)
-                    partials = partials.at[internal_index[k]].set(acc)
+                    node = jnp.where(live, internal_index[k], dead)
+                    partials = partials.at[node].set(acc)
                     return partials, 0
 
-                partials, _ = jax.lax.scan(step, partials, jnp.arange(n_int))
+                partials, _ = jax.lax.scan(
+                    step, partials, jnp.arange(n_int_max)
+                )
                 ll = _root_loglike(
                     partials[root_index], frequencies, rate_weights,
                     p_invariant, constant_like,
@@ -259,10 +279,11 @@ class CachedPartialsLikelihood:
             fn = self._jit_full_cache[key] = _full
         return fn
 
-    def _path_fn(self, n_int, max_children, depth):
-        key = ("path", n_int, max_children, depth)
+    def _path_fn(self, c_pad, depth):
+        key = ("path", c_pad, depth)
         fn = self._jit_path_cache.get(key)
         if fn is None:
+            dead = self._n_nodes_max - 1
 
             @jax.jit
             def _path(partials, child_index, internal_index, root_index,
@@ -272,15 +293,16 @@ class CachedPartialsLikelihood:
                     live = k >= 0
                     ks = jnp.maximum(k, 0)
                     acc = jnp.ones((self.n_rates, self.n_sites, N_STATES))
-                    for c in range(max_children):
+                    for c in range(c_pad):
                         child = child_index[ks, c]
                         valid = child >= 0
                         cp = partials[jnp.maximum(child, 0)]
                         lifted = jnp.einsum("rij,rsj->rsi", child_P[ks, c], cp)
                         acc = acc * jnp.where(valid, lifted, 1.0)
-                    node = jnp.where(live, internal_index[ks], 0)
-                    new_row = jnp.where(live, acc, partials[node])
-                    partials = partials.at[node].set(new_row)
+                    node = jnp.where(live, internal_index[ks], dead)
+                    partials = partials.at[node].set(
+                        jnp.where(live, acc, partials[node])
+                    )
                     return partials, 0
 
                 partials, _ = jax.lax.scan(step, partials, path_ks)
@@ -292,6 +314,21 @@ class CachedPartialsLikelihood:
 
             fn = self._jit_path_cache[key] = _path
         return fn
+
+    def _pad_arrays(self, arrays, child_P=None):
+        """Pad traversal arrays + per-edge P tensors to the static buckets
+        (n_int_max rows, child arity rounded to a power of two >= 4)."""
+        n_int, C = arrays["child_index"].shape
+        c_pad = max(4, 1 << max(C - 1, 0).bit_length())
+        ci = np.full((self._n_int_max, c_pad), -1, dtype=np.int32)
+        ci[:n_int, :C] = arrays["child_index"]
+        ii = np.zeros(self._n_int_max, dtype=np.int32)
+        ii[:n_int] = arrays["internal_index"]
+        if child_P is None:
+            return ci, ii, c_pad
+        P = np.zeros((self._n_int_max, c_pad, self.n_rates, 4, 4))
+        P[:n_int, :C] = child_P
+        return ci, ii, c_pad, P
 
     # -- API ----------------------------------------------------------------
     def loglike(self, tree: PhyloTree, model, changed_node_index=None) -> float:
@@ -308,15 +345,16 @@ class CachedPartialsLikelihood:
         committed = self._committed
         incremental = (
             committed is not None
-            and committed[0] == topo_key
-            and committed[1] == model_key
+            and committed["topo_key"] == topo_key
+            and committed["model_key"] == model_key
             and changed_node_index is not None
         )
         if incremental:
             # one edge changed: refresh that edge's P and rescan the path
-            arrays_c = committed[2]
-            partials, child_P = committed[3], committed[4]
-            k_of_node = committed[5]
+            partials = committed["partials"]
+            child_P = committed["child_P"]  # padded device tensor
+            k_of_node = committed["k_of_node"]
+            c_pad = committed["c_pad"]
             # locate (k, c) of the changed child edge
             ci = arrays["child_index"]
             hit = np.argwhere(ci == changed_node_index)
@@ -338,10 +376,9 @@ class CachedPartialsLikelihood:
                 depth = 1 << max(3, (len(path) - 1).bit_length())
                 path_ks = np.full(depth, -1, dtype=np.int32)
                 path_ks[: len(path)] = path
-                fn = self._path_fn(n_int, max_children, depth)
+                fn = self._path_fn(c_pad, depth)
                 new_partials, ll = fn(
-                    partials, jnp.asarray(arrays["child_index"]),
-                    jnp.asarray(arrays["internal_index"]),
+                    partials, committed["ci_dev"], committed["ii_dev"],
                     int(arrays["root_index"]), child_P,
                     jnp.asarray(path_ks), jnp.asarray(pi),
                     jnp.asarray(rate_weights),
@@ -349,13 +386,14 @@ class CachedPartialsLikelihood:
                     jnp.asarray(constant),
                 )
                 self.path_evals += 1
-                self._pending = (
-                    topo_key, model_key, arrays, new_partials, child_P,
-                    k_of_node,
+                self._pending = dict(
+                    committed, topo_key=topo_key, model_key=model_key,
+                    partials=new_partials, child_P=child_P,
                 )
                 return float(ll)
 
-        # full recompute
+        # full recompute at the static padded shape (one executable across
+        # every topology the chain visits; see __init__)
         child_P = np.zeros((n_int, max_children, self.n_rates, 4, 4))
         for k in range(n_int):
             for c in range(max_children):
@@ -363,11 +401,13 @@ class CachedPartialsLikelihood:
                     child_P[k, c] = model.transition_matrices(
                         np.asarray([arrays["child_edge"][k, c]])
                     )[0]
-        fn = self._full_fn(n_nodes, n_int, max_children)
+        ci_pad, ii_pad, c_pad, child_P_pad = self._pad_arrays(arrays, child_P)
+        fn = self._full_fn(c_pad)
+        ci_dev = jnp.asarray(ci_pad)
+        ii_dev = jnp.asarray(ii_pad)
         partials, ll = fn(
-            jnp.asarray(arrays["child_index"]),
-            jnp.asarray(arrays["internal_index"]),
-            int(arrays["root_index"]), jnp.asarray(child_P),
+            ci_dev, ii_dev, n_int, int(arrays["root_index"]),
+            jnp.asarray(child_P_pad),
             jnp.asarray(pi), jnp.asarray(rate_weights),
             jnp.asarray(float(getattr(model, "p_invariant", 0.0))),
             jnp.asarray(constant),
@@ -375,9 +415,10 @@ class CachedPartialsLikelihood:
         self.full_evals += 1
         k_of_node = np.full(n_nodes, -1, dtype=np.int64)
         k_of_node[arrays["internal_index"]] = np.arange(n_int)
-        self._pending = (
-            topo_key, model_key, arrays, partials, jnp.asarray(child_P),
-            k_of_node,
+        self._pending = dict(
+            topo_key=topo_key, model_key=model_key, partials=partials,
+            child_P=jnp.asarray(child_P_pad), k_of_node=k_of_node,
+            c_pad=c_pad, ci_dev=ci_dev, ii_dev=ii_dev,
         )
         return float(ll)
 

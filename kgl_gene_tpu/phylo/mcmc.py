@@ -352,19 +352,54 @@ class Chain:
 
 
 class MCMCSampler:
-    """Heated-chain sampler with periodic swaps (Strom::swapChains)."""
+    """Heated-chain sampler with periodic swaps (Strom::swapChains).
+
+    backend: "auto" (device incremental likelihood on TPU backends, host
+    numpy otherwise), "device" (force CachedPartialsLikelihood — the
+    Beagle-equivalent cached-partials engine, kpl_likelihood.h:43-105), or
+    "host". Heated chains share ONE device copy of the tip partials (the
+    reference gives every chain a Beagle instance over the same data,
+    kpl_strom.h:62-66)."""
 
     def __init__(self, alignment: np.ndarray, initial: ChainState,
                  n_chains: int = 1, heat_factor: float = 0.5,
                  seed: int = 0, fixed_topology: bool = False,
-                 likelihood_fn=None):
+                 likelihood_fn=None, backend: Optional[str] = "auto"):
+        use_device = False
+        if likelihood_fn is None and backend not in (None, "host"):
+            if backend == "device":
+                use_device = True
+            elif backend == "auto":
+                import jax
+
+                use_device = jax.default_backend() in ("tpu", "axon")
+            else:
+                raise ValueError(f"unknown backend {backend!r}")
+        shared_tips = None
+        if use_device:
+            from .likelihood import leaf_partials
+
+            import jax.numpy as jnp
+
+            shared_tips = jnp.asarray(leaf_partials(alignment))
         self.chains: List[Chain] = []
         for c in range(n_chains):
             power = 1.0 / (1.0 + heat_factor * c)
+            chain_backend = None
+            if use_device:
+                from .likelihood import CachedPartialsLikelihood
+
+                chain_backend = CachedPartialsLikelihood(
+                    alignment,
+                    n_rate_categories=getattr(
+                        initial.model, "n_rate_categories", 1
+                    ),
+                    tips=shared_tips,
+                )
             self.chains.append(
                 Chain(alignment, initial.copy(), power,
                       random.Random(seed + c), fixed_topology=fixed_topology,
-                      likelihood_fn=likelihood_fn)
+                      likelihood_fn=likelihood_fn, backend=chain_backend)
             )
         self.rng = random.Random(seed + 1000)
         self.swap_attempts = 0

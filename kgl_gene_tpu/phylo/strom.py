@@ -43,6 +43,11 @@ class StromConfig:
     p_invariant: float = 0.0
     fixed_topology: bool = False
     output_prefix: str = "strom"
+    # likelihood engine: "auto" = CachedPartialsLikelihood (the
+    # Beagle-equivalent device backend) on TPU backends, host numpy
+    # otherwise; "device"/"host" force one (kpl_strom.h:62-66 initialises
+    # chains WITH Beagle instances — the product default mirrors that).
+    backend: str = "auto"
 
     @classmethod
     def from_args(cls, argv: List[str]) -> "StromConfig":
@@ -60,6 +65,8 @@ class StromConfig:
         parser.add_argument("--pinvar", type=float, default=0.0)
         parser.add_argument("--fixedtree", action="store_true")
         parser.add_argument("--output", default="strom")
+        parser.add_argument("--backend", default="auto",
+                            choices=("auto", "device", "host"))
         ns = parser.parse_args(argv)
         return cls(
             data_file=ns.datafile, tree_file=ns.treefile, n_iterations=ns.niter,
@@ -67,7 +74,7 @@ class StromConfig:
             heat_factor=ns.heatfactor, seed=ns.seed,
             n_rate_categories=ns.ncateg, gamma_shape=ns.shape,
             p_invariant=ns.pinvar, fixed_topology=ns.fixedtree,
-            output_prefix=ns.output,
+            output_prefix=ns.output, backend=ns.backend,
         )
 
 
@@ -104,7 +111,12 @@ class Strom:
         self.sampler = MCMCSampler(
             data.alignment, initial, n_chains=cfg.n_chains,
             heat_factor=cfg.heat_factor, seed=cfg.seed,
-            fixed_topology=cfg.fixed_topology,
+            fixed_topology=cfg.fixed_topology, backend=cfg.backend,
+        )
+        engine = self.sampler.cold_chain.backend
+        log().info(
+            "strom: likelihood engine = {}",
+            type(engine).__name__ if engine is not None else "host numpy",
         )
         self.sampler.run(
             cfg.n_iterations, sample_freq=cfg.sample_freq, burn_in=cfg.burn_in

@@ -204,13 +204,14 @@ class VariantMajorCSR:
             counts = np.empty(len(starts), dtype=np.int64)
             np.subtract(starts[1:], starts[:-1], out=counts[:-1])
             counts[-1] = len(key) - starts[-1]
-            uniq = key[starts].astype(np.int64)
+            uniq = key[starts]  # native (int32 when the key space fits)
         else:
             uniq = np.empty(0, np.int64)
             counts = np.empty(0, np.int64)
         self.values = np.minimum(counts, 2).astype(np.uint8)   # (nnz,)
-        self.variant_of = uniq // max(n_g, 1)
-        self.genome_of = uniq % max(n_g, 1)  # (nnz,)
+        # divmod in the key's own width — int64 division over 10^8 keys
+        # costs whole seconds more than int32
+        self.variant_of, self.genome_of = np.divmod(uniq, uniq.dtype.type(max(n_g, 1)))
         self.indptr = np.searchsorted(self.variant_of, np.arange(n_v + 1))
 
         self.contig_index = arena.contigs[self.rows] if n_v else np.empty(0, np.int32)
@@ -263,6 +264,17 @@ class VariantMajorCSR:
         lo, hi = self.indptr[v_lo], self.indptr[v_hi]
         block = np.zeros((self.genome_count, v_hi - v_lo), dtype=np.uint8)
         block[self.genome_of[lo:hi], self.variant_of[lo:hi] - v_lo] = self.values[lo:hi]
+        return block
+
+    def dense_block_t(self, v_lo: int, v_hi: int) -> np.ndarray:
+        """Transposed densify: variants [v_lo, v_hi) -> (v_hi-v_lo, G)
+        zygosity block. The CSR is variant-sorted, so the scatter writes
+        near-sequential rows — at 10^8 incidences the (G, V) layout's
+        column-sweep scatter is all cache/TLB misses (tens of seconds),
+        while this orientation streams."""
+        lo, hi = self.indptr[v_lo], self.indptr[v_hi]
+        block = np.zeros((v_hi - v_lo, self.genome_count), dtype=np.uint8)
+        block[self.variant_of[lo:hi] - v_lo, self.genome_of[lo:hi]] = self.values[lo:hi]
         return block
 
     def iter_dense_blocks(self, block_variants: int = 4096):

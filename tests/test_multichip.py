@@ -155,8 +155,8 @@ class TestStreamedInbreeding:
             self._z = z
             self.genome_count, self.variant_count = z.shape
 
-        def dense_block(self, lo, hi):
-            return self._z[:, lo:hi]
+        def dense_block_t(self, lo, hi):
+            return np.ascontiguousarray(self._z[:, lo:hi].T)
 
     def test_matches_single_shot(self):
         from kgl_gene_tpu.parallel.mesh import streamed_inbreeding
