@@ -223,7 +223,36 @@ def bench_phylo(jax):
         host_chain.next_step()
     host_elapsed = time.perf_counter() - start
     host_rate = host_iters / host_elapsed
-    return device_rate, device_rate / host_rate, spread
+
+    # The PRODUCT sampler with topology moves (Larget-Simon + polytomy
+    # active) on the device incremental likelihood — the reference's real
+    # workload (kpl_mcmc_chain.h:66-71 drives Beagle per proposal); the
+    # host denominator runs the identical updater battery on the numpy
+    # likelihood. 16 taxa x 300k sites.
+    from kgl_gene_tpu.phylo.mcmc import MCMCSampler
+
+    n_sites_prod = 300_000
+    aln_p = rng.integers(0, 4, size=(n_taxa, n_sites_prod)).astype(np.uint8)
+    tree_p = random_tree([f"T{i}" for i in range(n_taxa)], random.Random(11))
+    model_p = SubstitutionModel(np.ones(6), np.full(4, 0.25), 1.0, 1, 0.0)
+    np.random.seed(1)
+    sampler = MCMCSampler(
+        aln_p, ChainState(tree_p.copy(), model_p), n_chains=1, seed=3,
+        backend="device",
+    )
+    sampler.run(2)  # warm: compiles the padded full/path programs
+    start = time.perf_counter()
+    sampler.run(10)
+    product_rate = 10 / (time.perf_counter() - start)
+    host_chain_p = Chain(
+        aln_p, ChainState(tree_p.copy(), model_p), rng=random.Random(2),
+    )
+    start = time.perf_counter()
+    for _ in range(3):
+        host_chain_p.next_step()
+    product_host_rate = 3 / (time.perf_counter() - start)
+    return (device_rate, device_rate / host_rate, spread,
+            product_rate, product_rate / product_host_rate)
 
 
 def bench_scale(jax):
@@ -358,7 +387,8 @@ def main():
     allpairs_gcups, pairs_per_s, ap_spread = bench_allpairs(jax, mutants)
     with tempfile.TemporaryDirectory() as tmp:
         e2e_genomes_per_s, e2e_breakdown, e2e_spread = bench_end_to_end(jax, tmp)
-    phylo_iters_per_s, phylo_vs_host, phylo_spread = bench_phylo(jax)
+    (phylo_iters_per_s, phylo_vs_host, phylo_spread,
+     phylo_product_iters_per_s, phylo_product_vs_host) = bench_phylo(jax)
     scale = bench_scale(jax)
 
     # Regression guard (VERDICT r3 weak #5): the primary metric must stay
@@ -396,6 +426,8 @@ def main():
         "phylo_iters_per_s": round(phylo_iters_per_s, 2),
         "phylo_vs_host_sampler": round(phylo_vs_host, 1),
         "phylo_spread": round(phylo_spread, 4),
+        "phylo_product_iters_per_s": round(phylo_product_iters_per_s, 2),
+        "phylo_product_vs_host": round(phylo_product_vs_host, 1),
         "regression_guard": guard,
         "scale": scale,
         "batch": batch,

@@ -81,17 +81,35 @@ def log_likelihood(
     return float(np.sum(weights * np.log(np.maximum(site_like, 1e-300))))
 
 
+_CONST_PATTERN_CACHE: dict = {}
+
+
+def _constant_site_pattern(codes: np.ndarray):
+    """(constant_state, all_n) per site: constant_state = the single
+    observed state (-1 if the column is variable), all_n = every row
+    ambiguous. Depends only on the alignment — computed once and cached
+    (a per-proposal Python loop over 10^5 sites once cost ~0.8 s/eval)."""
+    key = id(codes)
+    hit = _CONST_PATTERN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    masked = np.where(codes < 4, codes.astype(np.int16), -1)
+    mx = masked.max(axis=0)
+    observed_agree = ((masked == mx[None, :]) | (masked < 0)).all(axis=0)
+    all_n = mx < 0
+    const_state = np.where(observed_agree & ~all_n, mx, -1)
+    hit = (const_state, all_n)
+    _CONST_PATTERN_CACHE[key] = hit
+    return hit
+
+
 def _constant_site_likelihood(codes: np.ndarray, pi: np.ndarray) -> np.ndarray:
     """P(site | invariant): pi_x if all observed states agree (N wild)."""
-    n_sites = codes.shape[1]
-    out = np.zeros(n_sites)
-    for s in range(n_sites):
-        col = codes[:, s]
-        states = set(int(c) for c in col if c < 4)
-        if len(states) == 0:
-            out[s] = 1.0
-        elif len(states) == 1:
-            out[s] = pi[states.pop()]
+    const_state, all_n = _constant_site_pattern(codes)
+    out = np.zeros(codes.shape[1])
+    ok = const_state >= 0
+    out[ok] = np.asarray(pi)[const_state[ok]]
+    out[all_n] = 1.0
     return out
 
 

@@ -484,3 +484,74 @@ class TestCachedPartials:
 
         host = log_likelihood(chain.state.tree, aln, chain.state.model)
         assert abs(chain.state.log_like - host) < 1e-2
+
+
+class TestSamplerBackend:
+    """MCMCSampler backend wiring (VERDICT r3 #2): the product sampler can
+    run the Beagle-equivalent device likelihood, heated chains share one
+    tip-partials copy, and seeded traces match the host engine."""
+
+    def _setup(self):
+        import random as _random
+
+        rng = np.random.default_rng(5)
+        tree = random_tree([f"T{i}" for i in range(8)], _random.Random(5))
+        aln = rng.integers(0, 4, size=(8, 120)).astype(np.uint8)
+        model = SubstitutionModel(
+            np.ones(6), np.full(4, 0.25), 1.0, 1, 0.0
+        )
+        return tree, aln, model
+
+    def _run(self, tree, aln, model, backend):
+        from kgl_gene_tpu.phylo.mcmc import MCMCSampler
+
+        np.random.seed(42)  # dirichlet proposals draw from the global RNG
+        s = MCMCSampler(aln, ChainState(tree.copy(), model), n_chains=2,
+                        seed=9, backend=backend)
+        return s, s.run(24, sample_freq=4, burn_in=0)
+
+    def test_device_backend_constructs_and_shares_tips(self):
+        from kgl_gene_tpu.phylo.likelihood import CachedPartialsLikelihood
+        from kgl_gene_tpu.phylo.mcmc import MCMCSampler
+
+        tree, aln, model = self._setup()
+        s = MCMCSampler(aln, ChainState(tree, model), n_chains=3,
+                        backend="device")
+        assert all(
+            isinstance(c.backend, CachedPartialsLikelihood) for c in s.chains
+        )
+        tips = s.chains[0].backend.tips
+        assert all(c.backend.tips is tips for c in s.chains[1:])
+
+    def test_host_backend_is_default_off_tpu(self):
+        import jax
+
+        from kgl_gene_tpu.phylo.mcmc import MCMCSampler
+
+        tree, aln, model = self._setup()
+        s = MCMCSampler(aln, ChainState(tree, model), backend="auto")
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        assert (s.chains[0].backend is not None) == on_tpu
+
+    def test_seeded_traces_match_host(self):
+        """Same seed, device vs host engine: identical sampled topologies,
+        log-likelihoods within fp32-vs-fp64 accumulation tolerance."""
+        tree, aln, model = self._setup()
+        _s1, host_samples = self._run(tree, aln, model, "host")
+        s2, dev_samples = self._run(tree, aln, model, "device")
+        assert len(host_samples) == len(dev_samples) == 6
+        for a, b in zip(host_samples, dev_samples):
+            assert a["newick"] == b["newick"]
+            assert abs(a["log_like"] - b["log_like"]) < 0.5
+        # the device engine actually took incremental branch updates
+        assert s2.cold_chain.backend.path_evals > 0
+
+    def test_topology_moves_keep_one_full_program(self):
+        """Larget-Simon / polytomy moves change n_internals and arity; the
+        padded static shapes must keep the compiled-program count bounded
+        (one full program per arity bucket, not per topology)."""
+        tree, aln, model = self._setup()
+        s, _ = self._run(tree, aln, model, "device")
+        be = s.cold_chain.backend
+        assert be.full_evals > 5
+        assert len(be._jit_full_cache) <= 2  # arity buckets 4 (and maybe 8)
