@@ -107,11 +107,17 @@ def edit_items_to_cigar(items: List[EditItem], reference_length: int) -> str:
             run += gap
             pos = item.reference_offset
         flush_match()
-        # group consecutive same-op items at adjacent offsets
+        # group consecutive same-op items at strictly adjacent offsets
+        # (X/D advance the reference; I items at one insertion point share
+        # a reference offset) — strictness keeps run lengths summing to
+        # the reference length, matching the batched traceback's RLE
         op = item.operation
         count = 1
-        while (i + 1 < len(items) and items[i + 1].operation == op
-               and items[i + 1].reference_offset <= pos + count + 1):
+        while i + 1 < len(items) and items[i + 1].operation == op and (
+            items[i + 1].reference_offset == (
+                item.reference_offset if op == "I" else pos + count
+            )
+        ):
             count += 1
             i += 1
         out.append(f"{count}{op}")

@@ -869,14 +869,38 @@ class TranscriptFamilyAnalysis:
         tree = upgma_tree(matrix, labels)
         return newick(tree)
 
-    def write_report(self, path: str, distances: Optional[Dict[str, int]] = None) -> None:
+    def reference_cigars(self, band_k: int = 127) -> Dict[str, str]:
+        """CIGAR of each distinct mutant vs the reference coding via the
+        batched banded device traceback (ops/traceback.py — the batched
+        counterpart of edlib's alignment path, contrib/edlib/edlib.h:96-249);
+        band-overflow pairs fall back to the exact host DP."""
+        from ..ops.traceback import batched_cigar
+
+        distinct = list(self.distinct_sequences())
+        if not distinct:
+            return {}
+        seqs, lens = self._padded_codes([self.reference_coding] + distinct)
+        n = len(distinct)
+        ref_seq = np.repeat(seqs[:1], n, axis=0)
+        ref_len = np.repeat(lens[:1], n)
+        cigars = batched_cigar(
+            ref_seq, ref_len, seqs[1:], lens[1:], band_k=band_k
+        )
+        return dict(zip(distinct, cigars))
+
+    def write_report(self, path: str, distances: Optional[Dict[str, int]] = None,
+                     cigars: bool = False) -> None:
         distances = distances or self.reference_distances()
+        cigar_map = self.reference_cigars() if cigars else {}
         with open(path, "w") as f:
-            f.write("Genome,Gene,Transcript,Variants,Validity,Distance,CodingLength\n")
+            header = "Genome,Gene,Transcript,Variants,Validity,Distance,CodingLength"
+            f.write(header + (",Cigar\n" if cigars else "\n"))
             for rec in self.records:
                 distance = distances.get(rec.modified_coding, "")
                 f.write(
                     f"{rec.genome_id},{rec.gene_id},{rec.transcript_id},"
                     f"{rec.variant_count},{rec.validity.value},{distance},"
-                    f"{len(rec.modified_coding)}\n"
+                    f"{len(rec.modified_coding)}"
+                    + (f",{cigar_map.get(rec.modified_coding, '')}\n"
+                       if cigars else "\n")
                 )

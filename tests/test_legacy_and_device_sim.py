@@ -174,3 +174,104 @@ class TestDeviceSimilarity:
         # exact is the default).
         approx = mica_matrix_device(info, idxs, tile=4, max_ancestors=64)
         assert not np.allclose(approx, want, atol=1e-6)
+
+
+class TestBatchedTraceback:
+    """Banded device traceback (ops/traceback.py): CIGAR parity with the
+    host DP (edlib path counterpart, contrib/edlib/edlib.cpp:161-316)."""
+
+    def _mutate(self, rng, ref):
+        mut = ref.copy()
+        for _ in range(int(rng.integers(1, 8))):
+            kind = int(rng.integers(0, 3))
+            p = int(rng.integers(0, max(len(mut) - 4, 1)))
+            if kind == 0:
+                mut[p] = (mut[p] + 1) % 4
+            elif kind == 1 and len(mut) > 10:
+                mut = np.delete(mut, slice(p, p + int(rng.integers(1, 4))))
+            else:
+                ins = rng.integers(0, 4, size=int(rng.integers(1, 4)))
+                mut = np.insert(mut, p, ins.astype(np.uint8))
+        return mut
+
+    def test_fuzz_parity_with_host(self):
+        from kgl_gene_tpu.ops.traceback import batched_cigar
+
+        rng = np.random.default_rng(7)
+        S = 150
+        refs, muts = [], []
+        for _ in range(12):
+            ref = rng.integers(0, 4, size=S).astype(np.uint8)
+            muts.append(self._mutate(rng, ref))
+            refs.append(ref)
+        W = max(max(len(m) for m in muts), S)
+        a = np.zeros((12, W), np.uint8)
+        b = np.zeros((12, W), np.uint8)
+        la = np.zeros(12, np.int32)
+        lb = np.zeros(12, np.int32)
+        for i, (r, m) in enumerate(zip(refs, muts)):
+            a[i, : len(r)] = r
+            b[i, : len(m)] = m
+            la[i], lb[i] = len(r), len(m)
+        got = batched_cigar(a, la, b, lb, band_k=31)
+        for i in range(12):
+            items = compare_sequences(
+                DNA5SequenceLinear(refs[i]), DNA5SequenceLinear(muts[i])
+            )
+            assert got[i] == edit_items_to_cigar(items, len(refs[i])), i
+
+    def test_band_overflow_falls_back_exact(self):
+        from kgl_gene_tpu.ops.traceback import batched_cigar
+
+        rng = np.random.default_rng(3)
+        ref = rng.integers(0, 4, size=64).astype(np.uint8)
+        mut = rng.integers(0, 4, size=64).astype(np.uint8)  # ~48 edits >> k
+        got = batched_cigar(
+            ref[None, :], [64], mut[None, :], [64], band_k=7
+        )[0]
+        items = compare_sequences(
+            DNA5SequenceLinear(ref), DNA5SequenceLinear(mut)
+        )
+        assert got == edit_items_to_cigar(items, 64)
+
+    def test_cigar_length_conservation(self):
+        """M+X+D runs sum to the reference length; M+X+I to the mutant."""
+        import re
+
+        from kgl_gene_tpu.ops.traceback import batched_cigar
+
+        rng = np.random.default_rng(11)
+        ref = rng.integers(0, 4, size=200).astype(np.uint8)
+        mut = self._mutate(rng, ref)
+        W = max(len(ref), len(mut))
+        a = np.zeros((1, W), np.uint8); a[0, : len(ref)] = ref
+        b = np.zeros((1, W), np.uint8); b[0, : len(mut)] = mut
+        cig = batched_cigar(a, [len(ref)], b, [len(mut)], band_k=31)[0]
+        runs = re.findall(r"(\d+)([MXDI])", cig)
+        ref_len = sum(int(n) for n, op in runs if op in "MXD")
+        mut_len = sum(int(n) for n, op in runs if op in "MXI")
+        assert ref_len == len(ref) and mut_len == len(mut)
+
+    def test_family_report_cigars(self):
+        from kgl_gene_tpu.analysis.lib_seqmutation import (
+            TranscriptFamilyAnalysis, TranscriptMutateRecord,
+        )
+        from kgl_gene_tpu.genome.features import CodingSequenceValidity
+
+        ref = "ATGGCATAA"
+        recs = [
+            TranscriptMutateRecord("g1", "G", "T", 1, "ATGGCGTAA",
+                                   CodingSequenceValidity.VALID_PROTEIN),
+            TranscriptMutateRecord("g2", "G", "T", 0, ref,
+                                   CodingSequenceValidity.VALID_PROTEIN),
+        ]
+        fam = TranscriptFamilyAnalysis(recs, ref)
+        cigars = fam.reference_cigars(band_k=31)
+        assert cigars[ref] == "9M"
+        assert cigars["ATGGCGTAA"] == "5M1X3M"
+        import tempfile, os
+        path = os.path.join(tempfile.mkdtemp(), "fam.csv")
+        fam.write_report(path, cigars=True)
+        lines = open(path).read().splitlines()
+        assert lines[0].endswith(",Cigar")
+        assert lines[1].endswith(",9M") or lines[1].endswith(",5M1X3M")
