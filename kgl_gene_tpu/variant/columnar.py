@@ -179,22 +179,52 @@ class VariantMajorCSR:
     def __init__(self, population: PopulationDB):
         self.population = population
         arena = population.arena
-        self.genome_ids, g_all, v_all, self.rows = _collect_incidences(population)
-        n_g, n_v = len(self.genome_ids), len(self.rows)
-        self.genome_count = n_g
+        genome_ids = sorted(population.genome_map)
+        self.genome_ids = genome_ids
+        n_g = max(len(genome_ids), 1)
+
+        # Per-(genome, contig) incidence blocks, visited TWICE: once for
+        # the presence bitmap (distinct variants), once writing sort keys
+        # straight into one preallocated array — no concatenated
+        # rows/genome columns ever materialise (at 10^8 incidences on few
+        # cores every full-width temporary costs seconds).
+        parts = []
+        total = 0
+        for gidx, gid in enumerate(genome_ids):
+            for contig in population.genome_map[gid].contig_map.values():
+                rows = contig.incidence_rows()
+                if len(rows):
+                    parts.append((gidx, rows))
+                    total += len(rows)
+        present = np.zeros(len(arena), dtype=bool)
+        for _gidx, rp in parts:
+            present[rp] = True
+        sorted_rows = np.nonzero(present)[0]
+        order = np.lexsort(
+            (arena.offsets[sorted_rows], arena.contigs[sorted_rows])
+        )
+        self.rows = sorted_rows[order]
+        n_v = len(self.rows)
+        self.genome_count = len(genome_ids)
         self.variant_count = n_v
 
         # Dedup (variant, genome) pairs; the pair multiplicity (clamped to
         # 2) is the zygosity code. The key sort uses numpy's stable
         # (radix) integer sort in the narrowest dtype that fits — ~3x the
         # introsort np.unique would run on 10^8 int64 keys.
-        key_max = n_v * max(n_g, 1)
-        if key_max < 2**31:
-            key = np.asarray(v_all, np.int32) * np.int32(max(n_g, 1))
-            key += np.asarray(g_all, np.int32)
-        else:
-            key = np.asarray(v_all, np.int64) * max(n_g, 1)
-            key += g_all
+        key_max = n_v * n_g
+        key_dtype = np.int32 if key_max < 2**31 else np.int64
+        rank_of_row = np.empty(len(arena), dtype=key_dtype)
+        rank_of_row[self.rows] = np.arange(n_v, dtype=key_dtype)
+        key = np.empty(total, dtype=key_dtype)
+        off = 0
+        for gidx, rp in parts:
+            k = key[off : off + len(rp)]
+            np.take(rank_of_row, rp, out=k)
+            k *= key_dtype(n_g)
+            k += key_dtype(gidx)
+            off += len(rp)
+        del parts
         key = np.sort(key, kind="stable")
         if len(key):
             first = np.empty(len(key), dtype=bool)
@@ -211,8 +241,14 @@ class VariantMajorCSR:
         self.values = np.minimum(counts, 2).astype(np.uint8)   # (nnz,)
         # divmod in the key's own width — int64 division over 10^8 keys
         # costs whole seconds more than int32
-        self.variant_of, self.genome_of = np.divmod(uniq, uniq.dtype.type(max(n_g, 1)))
-        self.indptr = np.searchsorted(self.variant_of, np.arange(n_v + 1))
+        self.variant_of, self.genome_of = np.divmod(uniq, uniq.dtype.type(n_g))
+        # variant_of is sorted: indptr from a bincount + cumsum (sequential
+        # passes) instead of 10^6 binary searches over 10^8 keys (cache
+        # misses made searchsorted the single slowest build step)
+        self.indptr = np.zeros(n_v + 1, dtype=np.int64)
+        np.cumsum(
+            np.bincount(self.variant_of, minlength=n_v), out=self.indptr[1:]
+        )
 
         self.contig_index = arena.contigs[self.rows] if n_v else np.empty(0, np.int32)
         self.offsets = arena.offsets[self.rows] if n_v else np.empty(0, np.int64)
