@@ -42,77 +42,20 @@ _CH_DIAG, _CH_UP, _CH_LEFT = 0, 1, 2
 @functools.partial(
     jax.jit, static_argnames=("band_k", "max_len", "max_steps")
 )
-def _traceback_impl(a, la, b, lb, *, band_k: int, max_len: int,
-                    max_steps: int):
-    """a/b: (B, W>=max_len) int32 padded codes; la/lb (B,). Returns
-    (ops, counts): (B, max_steps) uint8/int32 run tapes in REVERSE path
-    order (end -> start). Runs of consecutive diagonal MATCHES collapse
-    into one tape entry (count <= 255, the match-run counter's width):
-    the traceback's sequential gather steps then scale with the EDIT
-    count, not the sequence length — the hot-loop economics of edlib's
-    O(d) path walk (edlib.cpp:161-316)."""
-    B, W = a.shape
+def _tb_walk(codes, la, lb, *, band_k: int, max_len: int, max_steps: int):
+    """Joint path walk over the Pallas-emitted packed code tensor
+    ((M_pad, B, band_w) uint8: 0 left / 1 up / 2 diag-sub / >=3
+    diag-match, run = code - 2). Returns (ops, counts): (B, max_steps)
+    uint8/int32 run tapes in REVERSE path order (end -> start). Runs of
+    consecutive diagonal MATCHES collapse into one tape entry (count <=
+    254, the match-run counter's width): the traceback's sequential
+    gather steps scale with the EDIT count, not the sequence length —
+    the hot-loop economics of edlib's O(d) path walk
+    (edlib.cpp:161-316)."""
     K = band_k
-    Wp = band_k * 2 + 1
+    B = codes.shape[1]
+    Wp = codes.shape[2]
     M = max_len
-    BIG = jnp.int32(2 * M + 7)
-    c_idx = jnp.arange(Wp, dtype=jnp.int32)[None, :]  # (1, Wp)
-
-    # b buffer with K sentinel lanes each side so the per-row window
-    # b[j-1] for j = i - K + c .. i + K + c slices statically.
-    b_buf = jnp.full((B, W + 2 * K + 2), -1, jnp.int32)
-    b_buf = jax.lax.dynamic_update_slice(b_buf, b, (0, K + 1))
-
-    # Row 0: D[0, j] = j inside the band.
-    j0 = c_idx - K
-    row0 = jnp.where((j0 >= 0) & (j0 <= K), jnp.maximum(j0, 0), BIG)
-    row0 = jnp.broadcast_to(row0, (B, Wp))
-    run0 = jnp.zeros((B, Wp), jnp.uint8)
-
-    def dp_row(carry, i):
-        prev, run_prev = carry
-        # window: bwin[:, c] = b[i - 1 - K + c] (b_buf offset K+1 lanes)
-        bwin = jax.lax.dynamic_slice(b_buf, (0, i), (B, Wp))
-        a_col = jax.lax.dynamic_slice(a, (0, i - 1), (B, 1))
-        j_idx = i - K + c_idx  # (1, Wp) broadcast
-        cost = (bwin != a_col).astype(jnp.int32)
-        up = jnp.concatenate(
-            [prev[:, 1:], jnp.full((B, 1), BIG)], axis=1
-        )
-        diag_val = prev + cost
-        up_val = up + 1
-        base = jnp.minimum(up_val, diag_val)
-        base = jnp.where(j_idx == 0, i, base)  # boundary D[i, 0] = i
-        invalid = (j_idx < 0) | (j_idx > M)
-        base = jnp.where(invalid, BIG, base)
-        # insertion chain (left): cur[c] = min_{c'<=c} base[c'] + (c - c')
-        g = base - c_idx
-        shift = 1
-        while shift < Wp:
-            rolled = jnp.concatenate(
-                [jnp.full((B, shift), BIG), g[:, :-shift]], axis=1
-            )
-            g = jnp.minimum(g, rolled)
-            shift *= 2
-        cur = g + c_idx
-        cur = jnp.where(invalid, BIG, cur)
-        # choice with host tie-break priority: diag, then up, then left
-        choice = jnp.where(
-            cur == diag_val, _CH_DIAG,
-            jnp.where(cur == up_val, _CH_UP, _CH_LEFT),
-        ).astype(jnp.uint8)
-        # consecutive diag-match run ending at (i, c), saturating at 255
-        is_match = (choice == _CH_DIAG) & (cost == 0)
-        run = jnp.where(
-            is_match, jnp.minimum(run_prev, 254).astype(jnp.uint8) + 1, 0
-        ).astype(jnp.uint8)
-        return (cur, run), (choice, run)
-
-    _final, (choices, runs) = jax.lax.scan(
-        dp_row, (row0, run0), jnp.arange(1, M + 1)
-    )  # choices/runs: (M, B, Wp)
-
-    # --- joint traceback, one lane per pair --------------------------------
     pair_idx = jnp.arange(B, dtype=jnp.int32)
 
     def tb_step(state, _):
@@ -120,23 +63,20 @@ def _traceback_impl(a, la, b, lb, *, band_k: int, max_len: int,
         done = (i <= 0) & (j <= 0)
         c = jnp.clip(j - i + K, 0, Wp - 1)
         i_row = jnp.clip(i - 1, 0, M - 1)
-        ch = choices[i_row, pair_idx, c]
-        rn = runs[i_row, pair_idx, c].astype(jnp.int32)
-        a_ch = a[pair_idx, jnp.clip(i - 1, 0, W - 1)]
-        b_ch = b[pair_idx, jnp.clip(j - 1, 0, W - 1)]
+        code = codes[i_row, pair_idx, c].astype(jnp.int32)
         both = (i > 0) & (j > 0)
+        is_match = both & (code >= 3)
+        take_diag = both & (code >= 2)
         # boundary rows: i == 0 -> I, j == 0 -> D
-        take_diag = both & (ch == _CH_DIAG)
-        take_up = (both & (ch == _CH_UP)) | ((i > 0) & (j <= 0))
+        take_up = (both & (code == 1)) | ((i > 0) & (j <= 0))
         take_left = ~take_diag & ~take_up
-        is_match = take_diag & (a_ch == b_ch)
         op = jnp.where(
             take_diag, jnp.where(is_match, OP_M, OP_X),
             jnp.where(take_up, OP_D, OP_I),
         ).astype(jnp.uint8)
         op = jnp.where(done, OP_END, op)
-        # match runs jump rn rows/cols at once; other ops single-step
-        count = jnp.where(is_match, jnp.maximum(rn, 1), 1)
+        # match runs jump (code - 2) rows/cols at once; others single-step
+        count = jnp.where(is_match, jnp.maximum(code - 2, 1), 1)
         count = jnp.where(done, 0, count)
         ni = jnp.where(done, i, jnp.where(take_left, i, i - count))
         nj = jnp.where(done, j, jnp.where(take_up, j, j - count))
@@ -156,11 +96,12 @@ def banded_traceback_ops(
 ) -> np.ndarray:
     """Op tapes (B, steps) uint8 in reverse path order; seq_a is the
     reference (rows/D ops), seq_b the mutant (columns/I ops)."""
-    seq_a = np.ascontiguousarray(seq_a, dtype=np.int32)
-    seq_b = np.ascontiguousarray(seq_b, dtype=np.int32)
+    import jax
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
     la = np.asarray(len_a, dtype=np.int32)
     lb = np.asarray(len_b, dtype=np.int32)
-    W = max(seq_a.shape[1], seq_b.shape[1], 1)
+    B = seq_a.shape[0]
     M = int(max(la.max(initial=0), lb.max(initial=0), 1))
     # an in-band path emits at most ~band_k non-match runs plus the
     # capped match jumps (<= M/255 + segments); the traceback scan's
@@ -170,15 +111,68 @@ def banded_traceback_ops(
     max_steps = int(min(
         (la + lb).max(initial=1), 3 * band_k + (M + 254) // 255 + 8
     ))
-    a_p = np.zeros((seq_a.shape[0], W), np.int32)
-    a_p[:, : seq_a.shape[1]] = seq_a
-    b_p = np.full((seq_b.shape[0], W), -2, np.int32)
-    b_p[:, : seq_b.shape[1]] = seq_b
-    ops, counts = _traceback_impl(
-        jnp.asarray(a_p), jnp.asarray(la), jnp.asarray(b_p), jnp.asarray(lb),
-        band_k=band_k, max_len=M, max_steps=max_steps,
+    # output double-buffering puts two (128, block_b, band_w) uint8 blocks
+    # per tensor in VMEM — narrow the block as the band widens
+    from .pallas_banded import band_layout
+
+    _lead, band_w, _win_w, _Wa = band_layout(band_k, M)
+    block_b = 128 if band_w <= 128 else 64
+    Bp = ((B + block_b - 1) // block_b) * block_b
+    # Only raw uint8 code slices cross the host link; the int32 padded DP
+    # buffers, the sentinel fill and the length columns all materialise
+    # ON DEVICE inside one fused program (the host-side np.full/astype
+    # versions of these buffers dominated wall time on a throttled host).
+    a_u8 = np.zeros((Bp, seq_a.shape[1]), np.uint8)
+    a_u8[:B] = seq_a
+    b_u8 = np.zeros((Bp, seq_b.shape[1]), np.uint8)
+    b_u8[:B] = seq_b
+    la_p = np.zeros(Bp, np.int32)
+    la_p[:B] = la
+    lb_p = np.full(Bp, -1, np.int32)  # pad rows: b never matches
+    lb_p[:B] = lb
+    ops, counts = _tapes_fused(
+        jnp.asarray(a_u8), jnp.asarray(b_u8), jnp.asarray(la_p),
+        jnp.asarray(lb_p), band_k=band_k, max_len=M, max_steps=max_steps,
+        block_b=block_b, interpret=interpret,
     )
-    return np.asarray(ops), np.asarray(counts)
+    return np.asarray(ops)[:B], np.asarray(counts)[:B]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band_k", "max_len", "max_steps", "block_b", "interpret"),
+)
+def _tapes_fused(a_u8, b_u8, la, lb, *, band_k: int, max_len: int,
+                 max_steps: int, block_b: int, interpret: bool):
+    """One device program: pad/convert the uint8 sequences, run the Pallas
+    choices DP, walk the paths. Only (B, steps) run tapes come back."""
+    from .pallas_banded import _banded_choices_call, band_layout
+
+    Bp = a_u8.shape[0]
+    lead, band_w, win_w, Wa = band_layout(band_k, max_len)
+    a_p = jnp.zeros((Bp, Wa), jnp.int32).at[
+        :, : a_u8.shape[1]
+    ].set(a_u8.astype(jnp.int32))
+    # mask beyond la with a negative sentinel distinct from b's so pad
+    # rows/columns can never fake a diagonal match
+    col = jnp.arange(Wa, dtype=jnp.int32)[None, :]
+    a_p = jnp.where(col < la[:, None], a_p, -3)
+    b_buf = jnp.full((Bp, lead + Wa + win_w), -1, jnp.int32)
+    b_buf = b_buf.at[:, lead : lead + b_u8.shape[1]].set(
+        b_u8.astype(jnp.int32)
+    )
+    bcol = jnp.arange(lead + Wa + win_w, dtype=jnp.int32)[None, :] - lead
+    b_buf = jnp.where(
+        (bcol >= 0) & (bcol < lb[:, None]) , b_buf, -1
+    )
+    codes = _banded_choices_call(
+        a_p, b_buf, max_len=max_len, band_k=band_k,
+        interpret=interpret, block_b=block_b,
+    )
+    return _tb_walk(
+        codes, jnp.maximum(la, 0), jnp.maximum(lb, 0),
+        band_k=band_k, max_len=max_len, max_steps=max_steps,
+    )
 
 
 def _runs_to_cigar(ops: np.ndarray, counts: np.ndarray) -> str:
@@ -188,12 +182,11 @@ def _runs_to_cigar(ops: np.ndarray, counts: np.ndarray) -> str:
     n = counts[live][::-1]
     if len(o) == 0:
         return ""
-    change = np.nonzero(np.diff(o))[0]
-    starts = np.concatenate([[0], change + 1])
-    ends = np.concatenate([change + 1, [len(o)]])
+    starts = np.concatenate([[0], np.flatnonzero(o[1:] != o[:-1]) + 1])
+    sums = np.add.reduceat(n, starts)
     return "".join(
-        f"{int(n[s:e].sum())}{OP_CHARS[int(o[s])]}"
-        for s, e in zip(starts, ends)
+        f"{s}{OP_CHARS[op]}"
+        for s, op in zip(sums.tolist(), o[starts].tolist())
     )
 
 
