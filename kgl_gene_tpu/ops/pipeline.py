@@ -43,6 +43,7 @@ __all__ = [
     "make_forward_step",
     "make_indel_forward_step",
     "make_multichip_step",
+    "make_multichip_indel_step",
 ]
 
 
@@ -491,6 +492,74 @@ def make_forward_step(
             exon_lens=exon_lens, reverse_strand=reverse_strand,
             stop_code=AminoAcid.STOP, use_pallas=use_pallas,
         )
+
+    return step
+
+
+def make_multichip_indel_step(
+    mesh: Mesh,
+    region_codes: np.ndarray,
+    exon_intervals: np.ndarray,
+    region_start: int,
+    reverse_strand: bool = False,
+    table_name: str = "NCBI_TABLE_1",
+    use_pallas: bool | None = None,
+    pad_coding: int = 0,
+    band_k: int = 0,
+):
+    """The general SNP+indel forward step under shard_map: sample batches
+    sharded over the mesh, transcript geometry replicated — the multi-chip
+    route for populations whose variant cocktails include canonical
+    insertions/deletions (the single-chip step is _forward_indel; the
+    reference's equivalent fan-out is the per-genome thread pool,
+    kga_analysis_lib_seqmutation.cpp:116-140).
+
+    step(pos, kind, del_len, ins_codes, ins_len, alt_code, valid) with the
+    batch axis of every input sharded; returns (coding_len sharded,
+    distance sharded, validity_code sharded).
+    """
+    from jax import shard_map
+
+    from ..sequence.alphabet import AminoAcid
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+
+    axis = mesh.axis_names[0]
+    table = amino_translation_table(table_name)
+    exon_intervals = np.asarray(exon_intervals, dtype=np.int64)
+    exon_bounds = np.asarray(
+        [
+            (int(lo - region_start), int(hi - region_start))
+            for lo, hi in exon_intervals
+        ],
+        dtype=np.int64,
+    )
+    region = jnp.asarray(region_codes, dtype=jnp.uint8)
+    amino_lut = jnp.asarray(table.amino_lut, dtype=jnp.uint8)
+    complement_lut = jnp.asarray(DNA5.COMPLEMENT, dtype=jnp.uint8)
+    start_codes = jnp.asarray(
+        np.unique(table.amino_lut[table.start_lut]), dtype=jnp.uint8
+    )
+    pad_c = ((max(pad_coding, 3) + 2) // 3) * 3
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None, None), P(axis, None), P(axis, None),
+                  P(axis, None)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def step(pos, kind, del_len, ins_codes, ins_len, alt_code, valid):
+        out = _forward_indel(
+            region, exon_bounds, reverse_strand, pos, kind, del_len,
+            ins_codes, ins_len, alt_code, valid, amino_lut, complement_lut,
+            AminoAcid.STOP, start_codes, pad_c, band_k, use_pallas,
+        )
+        return out.coding_len, out.distance, out.validity_code
 
     return step
 

@@ -194,3 +194,46 @@ class TestStreamedInbreeding:
                 csr, np.full(64, 0.3), mesh, block_variants=64,
                 algorithms=("HallME",),
             )
+
+
+class TestMultichipIndelStep:
+    """make_multichip_indel_step: the general SNP+indel forward step under
+    shard_map must equal the single-device step on every output."""
+
+    def test_equals_single_device(self):
+        from kgl_gene_tpu.ops.pipeline import (
+            make_indel_forward_step, make_multichip_indel_step,
+        )
+
+        rng = np.random.default_rng(4)
+        L, B, K, A = 384, 16, 6, 4
+        region = rng.integers(0, 4, size=L).astype(np.uint8)
+        exons = np.array([[40, 160], [200, 320]], dtype=np.int64)
+        pos = rng.integers(0, 40, size=(B, K)).astype(np.int32)
+        pos = np.sort(pos, axis=1) * 8  # spaced: no overlap interactions
+        kind = rng.integers(0, 3, size=(B, K)).astype(np.int8)
+        del_len = np.where(kind == 1, rng.integers(1, 3, size=(B, K)), 0).astype(np.int32)
+        ins_len = np.where(kind == 2, rng.integers(1, A, size=(B, K)), 0).astype(np.int32)
+        ins_codes = rng.integers(0, 4, size=(B, K, A)).astype(np.uint8)
+        alt_code = rng.integers(0, 4, size=(B, K)).astype(np.uint8)
+        valid = rng.random((B, K)) < 0.7
+
+        single = make_indel_forward_step(
+            region, exons, region_start=0, pad_coding=K * A, band_k=63,
+        )
+        ref = single(pos, kind, del_len, ins_codes, ins_len, alt_code, valid)
+
+        mesh = sample_mesh(4)
+        step = make_multichip_indel_step(
+            mesh, region, exons, region_start=0, pad_coding=K * A,
+            band_k=63, use_pallas=False,
+        )
+        coding_len, distance, validity = step(
+            shard_samples(pos, mesh), shard_samples(kind, mesh),
+            shard_samples(del_len, mesh), shard_samples(ins_codes, mesh),
+            shard_samples(ins_len, mesh), shard_samples(alt_code, mesh),
+            shard_samples(valid, mesh),
+        )
+        np.testing.assert_array_equal(np.asarray(coding_len)[:B], ref.coding_len)
+        np.testing.assert_array_equal(np.asarray(distance)[:B], ref.distance)
+        np.testing.assert_array_equal(np.asarray(validity)[:B], ref.validity_code)
