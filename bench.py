@@ -167,7 +167,7 @@ def bench_end_to_end(jax, tmp):
         return n_records, stages
 
     one_pass()  # warm: compiles the pooled program once
-    passes = [one_pass() for _ in range(3)]
+    passes = [one_pass() for _ in range(5)]
     n_records = passes[0][0]
     assert n_records == paths.n_genes * paths.n_samples
     elapsed, spread = _median_spread([s["total_s"] for _n, s in passes])
