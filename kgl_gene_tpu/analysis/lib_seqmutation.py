@@ -107,31 +107,6 @@ def _pack_outputs(coding, distance, validity_code, coding_len):
     return fn(coding, distance, validity_code, coding_len)
 
 
-def _concat_packed(packed_list):
-    """One jitted concat so ALL transcripts' packed outputs cross the
-    host link in a single transfer (round-trip latency dominates on the
-    tunnel). Batch sizes are padded to the max."""
-    fn = _JIT_HELPERS.get("cat")
-    if fn is None:
-        import jax
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _cat(*arrs):
-            bmax = max(a.shape[0] for a in arrs)
-            return jnp.concatenate(
-                [
-                    jnp.pad(a, ((0, bmax - a.shape[0]), (0, 0)))
-                    if a.shape[0] < bmax else a
-                    for a in arrs
-                ],
-                axis=1,
-            )
-
-        fn = _JIT_HELPERS["cat"] = _cat
-    return fn(*packed_list)
-
-
 @dataclass
 class MutateStats:
     """Aggregate mutation statistics (MutateAnalysis counters)."""
