@@ -198,6 +198,12 @@ struct KgtBgzfStream {
     carry.resize(old + slab_bytes);
     size_t got = std::fread(carry.data() + old, 1, slab_bytes, f);
     carry.resize(old + got);
+    if (got < slab_bytes && std::ferror(f)) {
+      // A transient read error can land on a block boundary and otherwise
+      // masquerade as clean EOF, silently truncating the stream.
+      res.ok = false;
+      return res;
+    }
     res.last = got < slab_bytes;
     std::vector<BgzfBlock> blocks;
     size_t consumed = 0;

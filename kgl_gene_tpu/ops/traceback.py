@@ -93,9 +93,9 @@ def banded_traceback_ops(
     seq_a: np.ndarray, len_a: np.ndarray,
     seq_b: np.ndarray, len_b: np.ndarray,
     band_k: int = 127,
-) -> np.ndarray:
-    """Op tapes (B, steps) uint8 in reverse path order; seq_a is the
-    reference (rows/D ops), seq_b the mutant (columns/I ops)."""
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(ops, counts) run tapes, each (B, steps), in reverse path order;
+    seq_a is the reference (rows/D ops), seq_b the mutant (columns/I ops)."""
     import jax
 
     interpret = jax.default_backend() not in ("tpu", "axon")
@@ -103,13 +103,14 @@ def banded_traceback_ops(
     lb = np.asarray(len_b, dtype=np.int32)
     B = seq_a.shape[0]
     M = int(max(la.max(initial=0), lb.max(initial=0), 1))
-    # an in-band path emits at most ~band_k non-match runs plus the
-    # capped match jumps (<= M/255 + segments); the traceback scan's
-    # sequential gathers are the hot loop, so the bound matters.
-    # Band-overflow pairs may truncate — batched_cigar verifies tape
-    # completion and reroutes them to the host DP.
+    # In-band worst case: up to 2*band_k+1 non-match/segment entries can
+    # interleave with match runs of at most 253 bases per tape entry, so
+    # the bound uses the 253 divisor (a tighter 255 once truncated
+    # borderline in-band pairs into the ~100 ms/pair host DP silently).
+    # Band-overflow pairs may still truncate — batched_cigar verifies tape
+    # completion and reroutes them to the host DP, counting reroutes.
     max_steps = int(min(
-        (la + lb).max(initial=1), 3 * band_k + (M + 254) // 255 + 8
+        (la + lb).max(initial=1), 2 * band_k + 1 + (M + 252) // 253 + 8
     ))
     # output double-buffering puts two (128, block_b, band_w) uint8 blocks
     # per tensor in VMEM — narrow the block as the band widens
@@ -190,28 +191,16 @@ def _runs_to_cigar(ops: np.ndarray, counts: np.ndarray) -> str:
     )
 
 
-def batched_cigar(
-    seq_a: np.ndarray, len_a: np.ndarray,
-    seq_b: np.ndarray, len_b: np.ndarray,
-    band_k: int = 127,
-    distances: Optional[np.ndarray] = None,
-    chunk_pairs: int = 8192,
-) -> List[str]:
-    """CIGAR strings for a batch of (reference, mutant) pairs via the
-    banded device traceback; pairs whose distance overflows the band
-    (when `distances` is given, or detected from the tape cost) fall back
-    to the exact host DP (compare_sequences)."""
-    la = np.asarray(len_a, dtype=np.int32)
-    lb = np.asarray(len_b, dtype=np.int32)
-    B = len(la)
-    out: List[str] = [""] * B
-    need_host: List[int] = []
-    if distances is not None:
-        distances = np.asarray(distances)
-    for lo in range(0, B, chunk_pairs):
-        hi = min(lo + chunk_pairs, B)
+def _cigar_pass(seq_a, la, seq_b, lb, indices, band_k, distances,
+                chunk_pairs, out):
+    """One banded pass over `indices` at band_k; fills out[] for pairs
+    proven exact and returns the indices that overflowed the band (or
+    truncated their tapes)."""
+    failed: List[int] = []
+    for lo in range(0, len(indices), chunk_pairs):
+        sel = indices[lo : lo + chunk_pairs]
         ops, counts = banded_traceback_ops(
-            seq_a[lo:hi], la[lo:hi], seq_b[lo:hi], lb[lo:hi], band_k=band_k
+            seq_a[sel], la[sel], seq_b[sel], lb[sel], band_k=band_k
         )
         # edit cost recovered from the tape; must match the banded band
         # exactness condition AND the tape must be complete (a truncated
@@ -224,23 +213,62 @@ def batched_cigar(
         mut_used = np.sum(
             counts * ((ops == OP_M) | (ops == OP_X) | (ops == OP_I)), axis=1
         )
-        for p in range(hi - lo):
+        for p, idx in enumerate(sel):
             exact = (
                 costs[p] <= band_k
-                and abs(int(la[lo + p]) - int(lb[lo + p])) <= band_k
-                and ref_used[p] == la[lo + p]
-                and mut_used[p] == lb[lo + p]
-                and (distances is None or costs[p] == distances[lo + p])
+                and abs(int(la[idx]) - int(lb[idx])) <= band_k
+                and ref_used[p] == la[idx]
+                and mut_used[p] == lb[idx]
+                and (distances is None or costs[p] == distances[idx])
             )
             if exact:
-                out[lo + p] = _runs_to_cigar(ops[p], counts[p])
+                out[idx] = _runs_to_cigar(ops[p], counts[p])
             else:
-                need_host.append(lo + p)
-    if need_host:
+                failed.append(idx)
+    return failed
+
+
+def batched_cigar(
+    seq_a: np.ndarray, len_a: np.ndarray,
+    seq_b: np.ndarray, len_b: np.ndarray,
+    band_k: int = 127,
+    distances: Optional[np.ndarray] = None,
+    chunk_pairs: int = 8192,
+    max_band: int = 511,
+) -> List[str]:
+    """CIGAR strings for a batch of (reference, mutant) pairs via the
+    banded device traceback. Pairs whose distance overflows the band
+    retry with a DOUBLED band (edlib's k -> 2k+1 schedule, contrib/edlib/
+    edlib.cpp:161-185; multi-tile bands reach max_band=511) before the
+    ~100 ms/pair host DP; reroutes are counted and logged so the perf
+    cliff is never silent."""
+    from ..utils.logging import log
+
+    la = np.asarray(len_a, dtype=np.int32)
+    lb = np.asarray(len_b, dtype=np.int32)
+    B = len(la)
+    out: List[str] = [""] * B
+    if distances is not None:
+        distances = np.asarray(distances)
+    pending = list(range(B))
+    k = band_k
+    while pending:
+        pending = _cigar_pass(
+            seq_a, la, seq_b, lb, np.asarray(pending, np.int64), k,
+            distances, chunk_pairs, out,
+        )
+        if not pending or k >= max_band:
+            break
+        k = min(2 * k + 1, max_band)
+    if pending:
         from ..analysis.legacy import compare_sequences, edit_items_to_cigar
         from ..sequence.sequence import DNA5SequenceLinear
 
-        for p in need_host:
+        log.info(
+            "batched_cigar: %d/%d pairs overflowed band %d; host DP fallback",
+            len(pending), B, max_band,
+        )
+        for p in pending:
             items = compare_sequences(
                 DNA5SequenceLinear(np.asarray(seq_a[p][: la[p]], np.uint8)),
                 DNA5SequenceLinear(np.asarray(seq_b[p][: lb[p]], np.uint8)),

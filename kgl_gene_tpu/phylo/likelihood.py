@@ -82,25 +82,32 @@ def log_likelihood(
 
 
 _CONST_PATTERN_CACHE: dict = {}
+_CONST_PATTERN_CACHE_MAX = 8
 
 
 def _constant_site_pattern(codes: np.ndarray):
     """(constant_state, all_n) per site: constant_state = the single
     observed state (-1 if the column is variable), all_n = every row
     ambiguous. Depends only on the alignment — computed once and cached
-    (a per-proposal Python loop over 10^5 sites once cost ~0.8 s/eval)."""
+    (a per-proposal Python loop over 10^5 sites once cost ~0.8 s/eval).
+
+    The cache entry PINS the codes array: an id()-only key could be
+    reused by a different array after the original is collected, silently
+    corrupting log-likelihoods. Bounded FIFO so temporaries can't grow it."""
     key = id(codes)
     hit = _CONST_PATTERN_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is codes:
+        return hit[1]
     masked = np.where(codes < 4, codes.astype(np.int16), -1)
     mx = masked.max(axis=0)
     observed_agree = ((masked == mx[None, :]) | (masked < 0)).all(axis=0)
     all_n = mx < 0
     const_state = np.where(observed_agree & ~all_n, mx, -1)
-    hit = (const_state, all_n)
-    _CONST_PATTERN_CACHE[key] = hit
-    return hit
+    result = (const_state, all_n)
+    if len(_CONST_PATTERN_CACHE) >= _CONST_PATTERN_CACHE_MAX:
+        _CONST_PATTERN_CACHE.pop(next(iter(_CONST_PATTERN_CACHE)))
+    _CONST_PATTERN_CACHE[key] = (codes, result)
+    return result
 
 
 def _constant_site_likelihood(codes: np.ndarray, pi: np.ndarray) -> np.ndarray:
