@@ -283,17 +283,18 @@ def _rerun_overflow_pairs(
     failed_k: int,
 ) -> np.ndarray:
     """Exact re-run for pairs that overflowed a failed band of width
-    failed_k: continue the edlib doubling at the NEXT band (2k+1); when no
-    wider band exists the pairs go straight to the full wavefront kernel —
-    never re-executing the band that just failed."""
-    from .pallas_banded import MAX_BAND, adaptive_banded_levenshtein
+    failed_k: continue the edlib doubling at the NEXT band (2k+1) on the
+    Myers bit-vector kernel; when no wider band exists the pairs go
+    straight to the full wavefront kernel — never re-executing the band
+    that just failed."""
+    from .pallas_myers import MYERS_BANDS, adaptive_myers_levenshtein
 
     next_k = 2 * failed_k + 1
-    if next_k > MAX_BAND:
+    if next_k > MYERS_BANDS[-1]:
         from .pallas_edit_distance import pallas_batched_levenshtein
 
         return pallas_batched_levenshtein(seq_a, len_a, seq_b, len_b)
-    return adaptive_banded_levenshtein(
+    return adaptive_myers_levenshtein(
         seq_a, len_a, seq_b, len_b, start_k=next_k
     )
 
@@ -332,33 +333,20 @@ def pairwise_distance_matrix(
         # fetched and the distances come back as ONE device->host transfer
         # (a remote-attached device pays ~25 ms per fetch — 16 sequential
         # fetches once dominated this path). Pairs that overflow the band
-        # re-run through the host adaptive path (exactness).
-        from .pallas_banded import _banded_pairs_gather
+        # re-run through the host adaptive path (exactness). The DP is the
+        # banded Myers bit-vector kernel (32 cells/int32 lane,
+        # pallas_myers.py) — measured 6,455 eff-GCUPS at the 32k-pair
+        # 3 kb shape vs 461 for the one-cell-per-lane banded kernel.
+        from .pallas_myers import _myers_pairs_gather, myers_band_for
 
+        band_k = myers_band_for(band_k) or 511
         seqs_dev = jax.device_put(jnp.asarray(seqs, jnp.int32))
         lens_dev = jax.device_put(jnp.asarray(lens, jnp.int32))
-        # Static uniform-length promise lets the kernel skip per-row
-        # capture work (every pair captures at the final wavefront row).
-        uniform = bool(np.all(lens == seqs.shape[1]))
         # One launch when the padded pair pool fits comfortably in HBM
         # (~60 KB per pair at 3 kb sequences): per-call upload latency on a
         # remote-attached device otherwise dominates the whole matrix.
-        if n_pairs <= 65536:
-            batch_pairs = max(batch_pairs, ((n_pairs + 511) // 512) * 512)
-        # Wide blocks amortise the kernel's per-row scalar overhead over
-        # more lanes (the 32-pair default left most of the VPU idle). The
-        # optimum depends on band width (register pressure from the
-        # sliding-window loop carry): k >= 127 peaks at 512 rows/block
-        # (303 -> 509 GCUPS measured at the 32k-pair bench shape), narrow
-        # k = 63 bands regress past 256.
-        if band_k >= 127 and n_pairs >= 512:
-            block_b = 512
-        elif n_pairs >= 256:
-            block_b = 256
-        elif n_pairs >= 128:
-            block_b = 128
-        else:
-            block_b = 32
+        if n_pairs <= 262144:
+            batch_pairs = max(batch_pairs, ((n_pairs + 1023) // 1024) * 1024)
         handles = []
         for start in range(0, n_pairs, batch_pairs):
             bi = iu[start : start + batch_pairs]
@@ -368,10 +356,10 @@ def pairwise_distance_matrix(
                 bi = np.concatenate([bi, np.full(batch_pairs - take, iu[0])])
                 bj = np.concatenate([bj, np.full(batch_pairs - take, ju[0])])
             handles.append(
-                _banded_pairs_gather(
+                _myers_pairs_gather(
                     seqs_dev, lens_dev, jnp.asarray(bi, jnp.int32),
                     jnp.asarray(bj, jnp.int32), band_k=band_k,
-                    block_b=block_b, uniform_cap=uniform,
+                    max_len=int(seqs.shape[1]),
                 )
             )
         fused = np.asarray(

@@ -49,6 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "myers_banded_levenshtein",
+    "myers_distance_padded",
+    "myers_band_for",
+    "adaptive_myers_levenshtein",
     "myers_pairs_device",
     "MYERS_BANDS",
 ]
@@ -69,10 +72,17 @@ def _myers_layout(band_k: int, max_len: int):
 
 
 def _myers_kernel(text_ref, la_ref, lb_ref, lab_ref, bit_ref, *rest,
-                  NB: int, NBtot: int, shift: int, Bs: int, unroll: int):
+                  NB: int, NBtot: int, shift: int, Bs: int, unroll: int,
+                  shared_text: bool):
     """One (pair-block, column-chunk) grid step: 32 text columns over the
     NB-block band window. rest = NB peq tile refs, out ref, then scratch
-    (vp, vn, s_cap, cap)."""
+    (vp, vn, s_cap, cap). Pattern bits arrive as THREE bit-plane words
+    (values 0..7 per cell); Eq is the AND of per-plane XNORs against the
+    text char's bits — 6 vector ops and 3 DMA tiles per block instead of
+    a 5-symbol mask blend. shared_text: the text is one sequence common
+    to every pair (the mutant-vs-reference pipelines) delivered as
+    per-column SMEM scalars, which removes the (B, M_pad) text transpose
+    from the prep entirely."""
     peq_refs = rest[:NB]
     out_ref = rest[NB]
     vp_ref, vn_ref = rest[NB + 1], rest[NB + 2]
@@ -110,10 +120,14 @@ def _myers_kernel(text_ref, la_ref, lb_ref, lab_ref, bit_ref, *rest,
     def col(r, carry):
         s_cap, cap, vps, vns = carry
         j = g * 32 + r + 1                 # 1-based text column
-        c = text_ref[0, r]                 # (Bs, 128) int32 column chars
-        masks = [
-            jnp.where(c == sym, full, zero) for sym in range(5)
-        ]
+        if shared_text:
+            c = text_ref[0, 0, r]          # scalar text char (SMEM)
+        else:
+            c = text_ref[0, r]             # (Bs, 128) int32 column chars
+        # plane masks: m_i = all-ones iff bit i of the text char is set
+        m0 = jnp.where((c & 1) != 0, full, zero)
+        m1 = jnp.where((c & 2) != 0, full, zero)
+        m2 = jnp.where((c & 4) != 0, full, zero)
         ph_in = jnp.uint32(1)  # top boundary: row-0 delta / band overestimate
         mh_in = zero
         new_vps, new_vns = [], []
@@ -121,11 +135,9 @@ def _myers_kernel(text_ref, la_ref, lb_ref, lab_ref, bit_ref, *rest,
         mh_sel = ph_sel
         for t in range(NB):
             p = peq_refs[t]
-            eq = (
-                (p[0, 0] & masks[0]) | (p[1, 0] & masks[1])
-                | (p[2, 0] & masks[2]) | (p[3, 0] & masks[3])
-                | (p[4, 0] & masks[4])
-            )
+            # Eq bit set where all three pattern bit-planes agree with the
+            # text char's bits (XNOR-AND identity).
+            eq = ~((p[0, 0] ^ m0) | (p[1, 0] ^ m1) | (p[2, 0] ^ m2))
             pv, mv = vps[t], vns[t]
             # Hyyro/Myers block recurrence with {P,M} carry bits
             # (edlib calculateBlock, contrib/edlib/edlib.cpp:84-106).
@@ -179,12 +191,16 @@ def _myers_kernel(text_ref, la_ref, lb_ref, lab_ref, bit_ref, *rest,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_len", "band_k", "block_b", "interpret")
+    jax.jit,
+    static_argnames=("max_len", "band_k", "block_b", "interpret", "shared_b"),
 )
 def _myers_call(a, la, b, lb, *, max_len: int, band_k: int,
-                block_b: int = 1024, interpret: bool = False):
-    """Traceable banded Myers distance. a, b: (B, W) integer code arrays
-    (codes 0..4); la, lb: (B,) lengths. Returns (B,) int32 distances
+                block_b: int = 1024, interpret: bool = False,
+                shared_b: bool = False):
+    """Traceable banded Myers distance. a: (B, W) integer code arrays
+    (codes 0..4); la, lb: (B,) lengths. b: (B, W) per-pair text, or
+    (1, W) when shared_b (one text common to all pairs — skips the text
+    transpose; per-column chars ride SMEM). Returns (B,) int32 distances
     (>= true; exact iff <= band_k and |la-lb| <= band_k). B must be a
     multiple of 128."""
     B = a.shape[0]
@@ -212,27 +228,42 @@ def _myers_call(a, la, b, lb, *, max_len: int, band_k: int,
             return jnp.pad(x.astype(jnp.int32), ((0, 0), (0, M_pad - w)))
         return x[:, :M_pad].astype(jnp.int32)
 
-    # pattern rows beyond la: sentinel -1 (no Peq bit); text columns beyond
-    # lb: selector 5 (no symbol mask) — pads never match anything.
+    # pattern rows beyond la: sentinel -1 (bit planes = 7, matching no
+    # char); text columns beyond lb: selector 5 — pads never match.
     a_m = jnp.where(idx < la[:, None], fit(a), -1)
-    b_m = jnp.where(idx < lb[:, None], fit(b), 5)
 
-    # Peq pack: 32 pattern cells per uint32, bit t = row 32*blk + t + 1.
-    w32 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    rows = a_m.reshape(B, NBtot, 32)
-    peq = jnp.stack(
-        [
-            jnp.sum(jnp.where(rows == s, w32, jnp.uint32(0)), axis=-1,
-                    dtype=jnp.uint32)
-            for s in range(5)
-        ]
-    )  # (5, B, NBtot)
-    peq = peq.transpose(0, 2, 1).reshape(5, NBtot, B // 128, 128)
+    # Bit-plane Peq pack on the MXU: 32 pattern cells per uint32, bit
+    # t = row 32*blk + t + 1. Three {0,1} planes contract against 16-bit
+    # halves of the weight vector (exact in f32) — one small matmul
+    # replaces five cross-lane reduces (the lane-dim reduce form cost
+    # ~3 ms at the 256x3kb pipeline shape).
+    planes = jnp.stack(
+        [((a_m >> i) & 1).astype(jnp.float32) for i in range(3)]
+    ).reshape(3 * B * NBtot, 32)
+    wmat = np.zeros((32, 2), np.float32)
+    for k in range(16):
+        wmat[k, 0] = float(1 << k)
+        wmat[k + 16, 1] = float(1 << k)
+    halves = jnp.dot(planes, jnp.asarray(wmat),
+                     preferred_element_type=jnp.float32)
+    peq = (
+        halves[:, 0].astype(jnp.uint32)
+        | (halves[:, 1].astype(jnp.uint32) << 16)
+    ).reshape(3, B, NBtot)
+    peq = peq.transpose(0, 2, 1).reshape(3, NBtot, B // 128, 128)
 
-    # text transposed to (chunk, column, pair-sublane, lane)
-    text = b_m.reshape(B, NBtot, 32).transpose(1, 2, 0).reshape(
-        NBtot, 32, B // 128, 128
-    )
+    if shared_b:
+        # One text for every pair; valid up to the largest lb (pairs with
+        # smaller lb latch earlier and never read the tail columns).
+        idx1 = jnp.arange(M_pad, dtype=jnp.int32)[None, :]
+        b_m = jnp.where(idx1 < jnp.max(lb), fit(b), 5)
+        text = b_m.reshape(NBtot, 1, 32)  # per-column SMEM scalars
+    else:
+        b_m = jnp.where(idx < lb[:, None], fit(b), 5)
+        # text transposed to (chunk, column, pair-sublane, lane)
+        text = b_m.reshape(B, NBtot, 32).transpose(1, 2, 0).reshape(
+            NBtot, 32, B // 128, 128
+        )
 
     def cols(x):
         return x.reshape(B // 128, 128)
@@ -246,7 +277,7 @@ def _myers_call(a, la, b, lb, *, max_len: int, band_k: int,
 
     kernel = functools.partial(
         _myers_kernel, NB=NB, NBtot=NBtot, shift=shift, Bs=Bs,
-        unroll=1 if interpret else 32,
+        unroll=1 if interpret else 32, shared_text=shared_b,
     )
 
     def _col_spec():
@@ -255,19 +286,25 @@ def _myers_call(a, la, b, lb, *, max_len: int, band_k: int,
 
     def _peq_spec(t):
         return pl.BlockSpec(
-            (5, 1, Bs, 128),
+            (3, 1, Bs, 128),
             lambda i, g, t=t: (
                 0, jnp.clip(g - shift, 0, NBtot - NB) + t, i, 0
             ),
             memory_space=pltpu.VMEM,
         )
 
+    if shared_b:
+        text_spec = pl.BlockSpec((1, 1, 32), lambda i, g: (g, 0, 0),
+                                 memory_space=pltpu.SMEM)
+    else:
+        text_spec = pl.BlockSpec((1, 32, Bs, 128), lambda i, g: (g, 0, i, 0),
+                                 memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kernel,
         grid=(B // block_b, NBtot),
         in_specs=[
-            pl.BlockSpec((1, 32, Bs, 128), lambda i, g: (g, 0, i, 0),
-                         memory_space=pltpu.VMEM),
+            text_spec,
             _col_spec(), _col_spec(), _col_spec(), _col_spec(),
             *[_peq_spec(t) for t in range(NB)],
         ],
@@ -295,6 +332,88 @@ def _myers_call(a, la, b, lb, *, max_len: int, band_k: int,
     )
 
 
+def myers_distance_padded(a, la, b, lb, *, max_len: int, band_k: int,
+                          interpret: bool = False, shared_b: bool = False):
+    """Traceable wrapper that pads the pair axis to the kernel's block
+    quantum and slices the result back — the drop-in distance stage for
+    fused pipelines (ops/pipeline.py _forward/_forward_indel).
+
+    Compiled path pads to FULL 1024-pair blocks: Mosaic ops on sub-vreg
+    (Bs < 8) sublane shapes pay ~20x per-op relayout overhead (measured
+    25 ms vs 1.2 ms for the same 94-chunk DP at B = 256), so 4x padded
+    work at Bs = 8 is far cheaper than unpadded work at Bs = 2. The
+    interpreter path keeps 128 (padding = real interpreted work there).
+
+    The optimization barrier pins the caller's (possibly expensive)
+    sequence producers — e.g. the fused SNP-scatter/splice chain — so
+    XLA cannot duplicate them into each of the Peq pack's five
+    reductions plus the text transpose (producer-duplicating fusion is
+    the classic cost explosion on stacked reduce patterns here)."""
+    a, la, b, lb = jax.lax.optimization_barrier((a, la, b, lb))
+    B = a.shape[0]
+    q = 128 if interpret else 1024
+    Bp = ((B + q - 1) // q) * q
+    if Bp != B:
+        a = jnp.pad(a.astype(jnp.int32), ((0, Bp - B), (0, 0)))
+        if not shared_b:
+            b = jnp.pad(b.astype(jnp.int32), ((0, Bp - B), (0, 0)))
+        la = jnp.pad(la.astype(jnp.int32), (0, Bp - B))
+        lb = jnp.pad(lb.astype(jnp.int32), (0, Bp - B))
+    return _myers_call(
+        a, la, b, lb, max_len=max_len, band_k=band_k, interpret=interpret,
+        shared_b=shared_b,
+    )[:B]
+
+
+def myers_band_for(bound: int, max_band: int = 511):
+    """Smallest chunk-aligned Myers band covering an edit bound, or None
+    when the bound exceeds max_band."""
+    for k in MYERS_BANDS:
+        if k > max_band:
+            break
+        if bound <= k:
+            return k
+    return None
+
+
+def adaptive_myers_levenshtein(
+    seq_a: np.ndarray, len_a: np.ndarray, seq_b: np.ndarray, len_b: np.ndarray,
+    start_k: int = 63, max_band: int = 511, interpret: bool | None = None,
+) -> np.ndarray:
+    """Edlib band-doubling on the Myers kernel (edlib.cpp:161-185):
+    distances verified against the band; overflow pairs re-run at the
+    next chunk-aligned band; final stragglers use the exact full
+    wavefront kernel."""
+    from .pallas_edit_distance import pallas_batched_levenshtein
+
+    len_a = np.asarray(len_a, dtype=np.int32)
+    len_b = np.asarray(len_b, dtype=np.int32)
+    B = len(len_a)
+    result = np.full(B, -1, dtype=np.int32)
+    pending = np.arange(B)
+    bands = [k for k in MYERS_BANDS if start_k <= k <= max_band] or [
+        max(k for k in MYERS_BANDS if k <= max_band)
+    ]
+    for k in bands:
+        if not len(pending):
+            break
+        d = myers_banded_levenshtein(
+            np.asarray(seq_a)[pending], len_a[pending],
+            np.asarray(seq_b)[pending], len_b[pending], band_k=k,
+            interpret=interpret,
+        )
+        ok = (d <= k) & (np.abs(len_a[pending] - len_b[pending]) <= k)
+        result[pending[ok]] = d[ok]
+        pending = pending[~ok]
+    if len(pending):
+        d = pallas_batched_levenshtein(
+            np.asarray(seq_a)[pending], len_a[pending],
+            np.asarray(seq_b)[pending], len_b[pending], interpret=interpret,
+        )
+        result[pending] = d
+    return result
+
+
 def myers_banded_levenshtein(
     seq_a: np.ndarray, len_a: np.ndarray, seq_b: np.ndarray, len_b: np.ndarray,
     band_k: int = 63, interpret: bool | None = None, block_b: int = 1024,
@@ -310,7 +429,7 @@ def myers_banded_levenshtein(
     lb = np.asarray(len_b, dtype=np.int32)
     B = seq_a.shape[0]
     M = max(seq_a.shape[1], seq_b.shape[1], 1)
-    q = 128 if B <= 1024 else 1024
+    q = 128 if interpret else 1024  # sub-vreg sublane blocks are ~20x slower
     Bp = ((B + q - 1) // q) * q
     a_p = np.zeros((Bp, seq_a.shape[1]), np.int32)
     a_p[:B] = seq_a
@@ -335,7 +454,7 @@ def _myers_pairs_impl(seqs, lens, iu, ju, *, band_k: int, max_len: int,
     UPGMA matrix workload, kgl_classification/
     kgl_distance_tree_upgma.cpp:53-69)."""
     P = iu.shape[0]
-    q = 128 if P <= 1024 else 1024
+    q = 128 if interpret else 1024  # sub-vreg sublane blocks are ~20x slower
     Bp = ((P + q - 1) // q) * q
     pad = Bp - P
     iu = jnp.pad(iu.astype(jnp.int32), (0, pad))

@@ -109,23 +109,18 @@ def _forward(
     # the static form of edlib's band doubling (edlib.cpp:161-185).
     band_k = 63 if K_snps <= 63 else (127 if K_snps <= 127 else 0)
     if use_pallas and band_k and S >= 512:
-        from .pallas_banded import _banded_call, band_layout
+        # Banded Myers bit-vector DP (ops/pallas_myers.py): 32 DP cells
+        # per int32 lane — the r5 kernel that replaced the
+        # one-cell-per-lane banded kernel in the fused step (~16x fewer
+        # vector issues at the same band).
+        from .pallas_myers import myers_distance_padded
 
-        lead, band_w, win_w, Wa = band_layout(band_k, S)
-        block_b = 256 if B % 256 == 0 else (128 if B % 128 == 0 else 32)
-        Bp = ((B + block_b - 1) // block_b) * block_b
-        a_p = jnp.zeros((Bp, Wa), jnp.int32).at[:B, :S].set(coding.astype(jnp.int32))
-        b_buf = jnp.full((Bp, lead + Wa + win_w), -1, jnp.int32).at[
-            :B, lead : lead + S
-        ].set(jnp.broadcast_to(ref_coding, (B, S)).astype(jnp.int32))
-        len_col = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S)
-        # uniform_cap: every real pair has la == lb == S (mutants are
-        # substitution-only), so the kernel skips per-row capture work and
-        # reads the final wavefront row (padded rows are sliced away).
-        distance = _banded_call(
-            a_p, b_buf, len_col, len_col, max_len=S, band_k=band_k,
-            block_b=block_b, interpret=interpret, uniform_cap=True,
-        )[:B, 0]
+        lens_i = jnp.full((B,), S, jnp.int32)
+        distance = myers_distance_padded(
+            coding.astype(jnp.int32), lens_i,
+            ref_coding.astype(jnp.int32), lens_i,
+            max_len=S, band_k=band_k, interpret=interpret, shared_b=True,
+        )
     elif use_pallas:
         from .pallas_edit_distance import BLOCK_B, _pallas_call
 
@@ -327,28 +322,18 @@ def _forward_indel(
     ref_b = jnp.broadcast_to(ref_coding, (B, S_ref)).astype(jnp.int32)
     len_ref = jnp.full((B,), S_ref, jnp.int32)
     if use_pallas and band_k > 0:
-        from .pallas_banded import _banded_call, band_layout
+        # Banded Myers bit-vector DP with per-genome coding lengths
+        # (indels shift la; capture latches at (coding_len, S_ref)).
+        from .pallas_myers import myers_distance_padded
 
         interpret = jax.default_backend() not in ("tpu", "axon")
         Mx = max(S_pad, S_ref)
-        lead, band_w, win_w, Wa = band_layout(band_k, Mx)
-        # Wide blocks amortise the per-step kernel overhead (the all-pairs
-        # pool measured ~3x from 32 -> 128 lanes); pick the widest block
-        # that doesn't over-pad small batches.
-        block_b = 256 if B >= 256 else (128 if B >= 96 else 32)
-        Bp = ((B + block_b - 1) // block_b) * block_b
-        a_p = jnp.zeros((Bp, Wa), jnp.int32).at[:B, :S_pad].set(
-            coding.astype(jnp.int32)
+        distance = myers_distance_padded(
+            coding.astype(jnp.int32), coding_len,
+            ref_coding.astype(jnp.int32),
+            jnp.full((B,), S_ref, jnp.int32),
+            max_len=Mx, band_k=band_k, interpret=interpret, shared_b=True,
         )
-        b_buf = jnp.full((Bp, lead + Wa + win_w), -1, jnp.int32).at[
-            :B, lead : lead + S_ref
-        ].set(ref_b)
-        la = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(coding_len[:, None])
-        lb = jnp.zeros((Bp, 128), jnp.int32).at[:B, :].set(S_ref)
-        distance = _banded_call(
-            a_p, b_buf, la, lb, max_len=Mx, band_k=band_k, block_b=block_b,
-            interpret=interpret,
-        )[:B, 0]
     elif use_pallas:
         from .pallas_edit_distance import BLOCK_B, _pallas_call
 

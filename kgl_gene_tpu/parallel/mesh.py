@@ -325,10 +325,10 @@ def sharded_pairwise_distances(
     lens_d = jnp.asarray(lens)
 
     if band_k is not None:
-        from ..ops.pallas_banded import _banded_pairs_impl
+        from ..ops.pallas_myers import _myers_pairs_impl, myers_band_for
 
+        band_k = myers_band_for(band_k) or 511
         interpret = jax.default_backend() not in ("tpu", "axon")
-        uniform = bool(np.all(lens == M))
 
         @jax.jit
         @functools.partial(
@@ -340,9 +340,9 @@ def sharded_pairwise_distances(
             check_vma=False,
         )
         def _banded_distances(local_pairs, all_seqs, all_lens):
-            return _banded_pairs_impl(
+            return _myers_pairs_impl(
                 all_seqs, all_lens, local_pairs[:, 0], local_pairs[:, 1],
-                band_k=band_k, interpret=interpret, uniform_cap=uniform,
+                band_k=band_k, max_len=M, interpret=interpret,
             )
 
         distances = np.asarray(
