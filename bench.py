@@ -17,11 +17,12 @@ Three measurements (BASELINE.md:25-26 metrics), ONE JSON line:
    (256 samples x 4 genes, synthetic chromosome VCF) — the framework's
    real product path (analysis/lib_seqmutation.py), not a kernel number.
 
-vs_baseline compares the primary metric against a 100-thread edlib CPU
-workstation estimate for the same per-sample work (the reference's target
-platform, README.md:24-27): the full reference pipeline measured ~0.05
-genomes/s/thread at this gene scale -> ~5 genomes/s at 100 threads (no
-published numbers exist; BASELINE.md — an estimate, labelled as such).
+vs_baseline compares the primary metric against a MEASURED 100-thread CPU
+baseline (the reference's recommended platform, README.md:24-27): the
+repo's own host-exact engine + row-DP distance measured single-thread on
+this box at the bench gene scale (21.96 genomes/s), scaled by 100 threads
+= 2,196 genomes/s. Method + bracketing notes: BASELINE.md "Measured CPU
+baseline"; re-derive with scripts/measure_host_baseline.py.
 """
 
 import glob
@@ -88,7 +89,7 @@ def bench_forward_step(jax, rng):
     chained(2)  # warm the chain ops (jnp.add / slice) too
     iters = 20
     per_iter = []
-    for _ in range(3):
+    for _ in range(5):
         start = time.perf_counter()
         chained(iters)
         per_iter.append((time.perf_counter() - start) / iters)
@@ -394,8 +395,9 @@ def main():
      phylo_product_iters_per_s, phylo_product_vs_host) = bench_phylo(jax)
     scale = bench_scale(jax)
 
-    # Regression guard (VERDICT r3 weak #5): the primary metric must stay
-    # within 10% of the newest recorded round, or the bench fails loudly.
+    # Regression guard (VERDICT r4 weak #5 -> r5 #8): EVERY headline metric
+    # must stay within max(10%, 2x its recorded spread) of the newest
+    # recorded round, or the bench fails loudly.
     guard = "no-prior-record"
     on_tpu = jax.default_backend() in ("tpu", "axon")
     priors = sorted(glob.glob(os.path.join(
@@ -403,16 +405,35 @@ def main():
     if priors and on_tpu and not os.environ.get("KGT_BENCH_NO_GUARD"):
         with open(priors[-1]) as f:
             prior = json.load(f).get("parsed", {})
-        prior_value = float(prior.get("value", 0.0))
-        if prior_value:
-            ratio = genomes_per_s / prior_value
-            guard = f"{os.path.basename(priors[-1])}: {ratio:.3f}x"
-            assert ratio >= 0.9, (
-                f"primary metric regressed: {genomes_per_s:.0f} vs "
-                f"{prior_value:.0f} recorded in {priors[-1]} ({ratio:.3f}x)"
+        guarded = [
+            ("value", genomes_per_s, "value_spread"),
+            ("allpairs_gcups", allpairs_gcups, "allpairs_spread"),
+            ("e2e_genomes_per_s", e2e_genomes_per_s, "e2e_spread"),
+            ("phylo_iters_per_s", phylo_iters_per_s, "phylo_spread"),
+            ("phylo_product_iters_per_s", phylo_product_iters_per_s, None),
+        ]
+        ratios = []
+        for key, now, spread_key in guarded:
+            prior_value = float(prior.get(key, 0.0) or 0.0)
+            if not prior_value:
+                continue
+            prior_spread = float(prior.get(spread_key, 0.0) or 0.0) \
+                if spread_key else 0.0
+            floor = 1.0 - max(0.10, 2.0 * prior_spread)
+            ratio = now / prior_value
+            ratios.append(f"{key} {ratio:.3f}x")
+            assert ratio >= floor, (
+                f"{key} regressed: {now:.2f} vs {prior_value:.2f} recorded "
+                f"in {priors[-1]} ({ratio:.3f}x < floor {floor:.3f})"
             )
+        guard = f"{os.path.basename(priors[-1])}: " + ", ".join(ratios)
 
-    cpu_baseline_genomes_per_s = 5.0  # 100-thread edlib-class estimate (docstring)
+    # Measured on this box (BASELINE.md "Measured CPU baseline"): the
+    # repo's host-exact engine + numpy row-DP runs 21.96 genomes/s on one
+    # thread at the bench gene scale; x100 threads (the reference's
+    # recommended platform) = 2,196 genomes/s. Re-derive with
+    # scripts/measure_host_baseline.py.
+    cpu_baseline_genomes_per_s = 2196.0
     result = {
         "metric": "sample-genomes/s/chip (variant apply + alignment)",
         "value": round(genomes_per_s, 3),
