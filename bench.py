@@ -169,6 +169,19 @@ def bench_end_to_end(jax, tmp):
 
     one_pass()  # warm: compiles the pooled program once
     passes = [one_pass() for _ in range(5)]
+    # Link health: the tunnel's device->host rate varies >10x day to day
+    # (measured 5..100+ MB/s); e2e is partially transfer-bound, so record
+    # the rate the run actually saw to make the number interpretable.
+    import jax.numpy as jnp
+
+    probe = jax.device_put(jnp.zeros((1024, 1024), jnp.uint8))
+    np.asarray(probe)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(probe + jnp.uint8(1))
+        rates.append(1.0 / (time.perf_counter() - t0))
+    link_mb_per_s = float(np.median(rates))
     n_records = passes[0][0]
     assert n_records == paths.n_genes * paths.n_samples
     elapsed, spread = _median_spread([s["total_s"] for _n, s in passes])
@@ -178,6 +191,7 @@ def bench_end_to_end(jax, tmp):
     }
     breakdown["n_round_trips"] = int(passes[0][1]["n_device_fetches"])
     breakdown["total_s"] = round(elapsed, 4)
+    breakdown["link_mb_per_s"] = round(link_mb_per_s, 1)
     return n_records / elapsed, breakdown, spread
 
 

@@ -67,18 +67,16 @@ _BASE5_LUT = np.stack(
 )
 
 
-def _pack_traced(coding, distance, validity_code, coding_len):
+def _pack_traced(coding, distance, validity_code, coding_len,
+                 tail_only: bool = False):
     """Traceable output packing: three base-5 coding codes per byte + an
     8-byte tail (distance LE32, validity code, coding length LE24) so the
-    host fetches ONE uint8 array per step."""
+    host fetches ONE uint8 array per step. tail_only skips the sequence
+    bytes entirely — the SNP fast path's coding strings reconstruct
+    host-side from the capture tensors (the sequence dominated the packed
+    transfer: ~1 kB/record vs 8 B of tail on the remote tunnel)."""
     import jax.numpy as jnp
 
-    B, S = coding.shape
-    c = coding.astype(jnp.uint8)
-    if S % 3:
-        c = jnp.pad(c, ((0, 0), (0, 3 - S % 3)))
-    # base-5 packing: three codes (0..4, N included) per byte.
-    nib = c[:, 0::3] + 5 * c[:, 1::3] + 25 * c[:, 2::3]
     d = distance.astype(jnp.uint32)
     cl = coding_len.astype(jnp.uint32)
     tail = jnp.stack(
@@ -94,17 +92,51 @@ def _pack_traced(coding, distance, validity_code, coding_len):
         ],
         axis=1,
     )
+    if tail_only:
+        return tail
+    B, S = coding.shape
+    c = coding.astype(jnp.uint8)
+    if S % 3:
+        c = jnp.pad(c, ((0, 0), (0, 3 - S % 3)))
+    # base-5 packing: three codes (0..4, N included) per byte.
+    nib = c[:, 0::3] + 5 * c[:, 1::3] + 25 * c[:, 2::3]
     return jnp.concatenate([nib, tail], axis=1)
 
 
-def _pack_outputs(coding, distance, validity_code, coding_len):
+def _pack_outputs(coding, distance, validity_code, coding_len,
+                  tail_only: bool = False):
     """Jitted wrapper around _pack_traced (single-step dispatch path)."""
     fn = _JIT_HELPERS.get("pack")
     if fn is None:
         import jax
 
-        fn = _JIT_HELPERS["pack"] = jax.jit(_pack_traced)
-    return fn(coding, distance, validity_code, coding_len)
+        fn = _JIT_HELPERS["pack"] = jax.jit(
+            _pack_traced, static_argnames=("tail_only",)
+        )
+    return fn(coding, distance, validity_code, coding_len,
+              tail_only=tail_only)
+
+
+def _link_rate_mb_s() -> float:
+    """Measured device->host rate of the attached device link (MB/s),
+    probed ONCE per process (a 0.5 MB round trip). The remote tunnel's
+    rate swings >10x day to day; the pooled mutate program picks its
+    indel payload mode (ship packed sequences vs 8-byte tails + host
+    reconstruction) from this number."""
+    rate = _JIT_HELPERS.get("link_rate")
+    if rate is None:
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        probe = jax.device_put(jnp.zeros((512, 1024), jnp.uint8))
+        np.asarray(probe)  # warm / force placement
+        t0 = time.perf_counter()
+        np.asarray(probe + jnp.uint8(1))
+        rate = 0.5 / max(time.perf_counter() - t0, 1e-6)
+        _JIT_HELPERS["link_rate"] = rate
+    return rate
 
 
 @dataclass
@@ -281,7 +313,7 @@ class MutateGenes:
             out.distance.shape, out.mutated_coding.shape[1], jnp.int32
         )
         return _pack_outputs(out.mutated_coding, out.distance,
-                             out.validity_code, coding_len)
+                             out.validity_code, coding_len, True)
 
     def _device_dispatch_indel(self, batch, transcript: TranscriptionSequence):
         """Dispatch the general SNP+indel step for one transcript."""
@@ -294,7 +326,7 @@ class MutateGenes:
         out = step(batch.pos, batch.kind, batch.del_len, batch.ins_codes,
                    batch.ins_len, batch.alt_code, batch.valid)
         return _pack_outputs(out.mutated_coding, out.distance,
-                             out.validity_code, out.coding_len)
+                             out.validity_code, out.coding_len, True)
 
     def _pooled_program(self, specs, transcripts):
         """ONE jitted program running every transcript's snp/indel forward
@@ -360,8 +392,9 @@ class MutateGenes:
                     ],
                     dtype=np.int64,
                 )
-                pad_coding, band_k = extra
-                consts.append((region, exon_bounds, reverse, pad_coding, band_k))
+                pad_coding, band_k, tail_only = extra
+                consts.append((region, exon_bounds, reverse, pad_coding,
+                               band_k, tail_only))
 
         n_inputs = [3 if s[0] == "snp" else 7 for s in specs]
 
@@ -381,12 +414,15 @@ class MutateGenes:
                         out.distance.shape, out.mutated_coding.shape[1],
                         jnp.int32,
                     )
+                    # SNP steps ship tails only; strings reconstruct
+                    # host-side (_reconstruct_snp_codes).
                     packed.append(
                         _pack_traced(out.mutated_coding, out.distance,
-                                     out.validity_code, cl)
+                                     out.validity_code, cl, tail_only=True)
                     )
                 else:
-                    region, exon_bounds, reverse, pad_coding, band_k = cst
+                    (region, exon_bounds, reverse, pad_coding, band_k,
+                     tail_only) = cst
                     args = [next(it) for _ in range(7)]
                     out = _forward_indel(
                         region, exon_bounds, reverse, *args,
@@ -395,7 +431,8 @@ class MutateGenes:
                     )
                     packed.append(
                         _pack_traced(out.mutated_coding, out.distance,
-                                     out.validity_code, out.coding_len)
+                                     out.validity_code, out.coding_len,
+                                     tail_only=tail_only)
                     )
             bmax = max(p.shape[0] for p in packed)
             return jnp.concatenate(
@@ -411,21 +448,60 @@ class MutateGenes:
         cache[key] = hit
         return hit
 
+    def _reconstruct_snp_codes(
+        self, batch: BatchCapture, transcript: TranscriptionSequence,
+    ) -> np.ndarray:
+        """Host-side coding codes for the SNP fast path: the device sends
+        only the 8-byte tails; the mutant sequences re-derive from the
+        reference coding plus the capture tensors (region-relative SNP
+        positions mapped through the exon layout / strand) — byte-exact
+        with the device scatter+splice (apply -> splice -> complement)."""
+        from ..sequence.alphabet import DNA5
+
+        n_dev = len(batch.genome_ids)
+        ref_codes = self.contig_ref.coding_sequence(transcript).codes
+        S = len(ref_codes)
+        reverse = transcript.strand is StrandSense.REVERSE
+        L = transcript.end - transcript.start
+        cmap = np.full(L, -1, np.int64)
+        cs = 0
+        for lo, hi in np.asarray(transcript.exon_arrays(), np.int64):
+            lo_r, hi_r = int(lo - transcript.start), int(hi - transcript.start)
+            cmap[lo_r:hi_r] = cs + np.arange(hi_r - lo_r)
+            cs += hi_r - lo_r
+        pos = batch.positions[:n_dev].astype(np.int64)
+        alt = batch.alt_codes[:n_dev]
+        ok = batch.valid[:n_dev] & (pos >= 0) & (pos < L)
+        cpos = np.where(ok, cmap[np.clip(pos, 0, L - 1)], -1)
+        ok &= cpos >= 0
+        codes_v = alt
+        if reverse:
+            cpos = np.where(ok, S - 1 - cpos, -1)
+            codes_v = DNA5.COMPLEMENT[alt]
+        out = np.repeat(ref_codes[None, :], n_dev, axis=0)
+        b_idx, k_idx = np.nonzero(ok)
+        out[b_idx, cpos[b_idx, k_idx]] = codes_v[b_idx, k_idx]
+        return out
+
     def _device_collect(
         self, packed: np.ndarray, batch: BatchCapture,
         transcript: TranscriptionSequence, coding_len: int,
         stats: MutateStats,
     ) -> List[TranscriptMutateRecord]:
         """Unpack one transcript's fetched outputs into records (vectorized
-        strings + validity; no per-genome sequence objects)."""
+        strings + validity; no per-genome sequence objects). Tail-only
+        payloads (8 columns) reconstruct the coding strings host-side."""
         from ..sequence.alphabet import DNA5
 
         n_dev = len(batch.genome_ids)
         S = coding_len
         packed = packed[:n_dev]
-        nib = packed[:, : (S + 2) // 3]
-        # base-5 unpack via one (256, 3) LUT gather.
-        codes = _BASE5_LUT[nib].reshape(n_dev, -1)[:, :S]
+        if packed.shape[1] == 8:
+            codes = self._reconstruct_snp_codes(batch, transcript)
+        else:
+            nib = packed[:, : (S + 2) // 3]
+            # base-5 unpack via one (256, 3) LUT gather.
+            codes = _BASE5_LUT[nib].reshape(n_dev, -1)[:, :S]
         tail = packed[:, -8:]
         distance = (
             tail[:, 0].astype(np.int64)
@@ -466,17 +542,49 @@ class MutateGenes:
             )
         return records
 
+    def _reconstruct_indel_codes(
+        self, batch, transcript: TranscriptionSequence,
+    ) -> np.ndarray:
+        """Host replay of the device indel apply for tail-only payloads
+        (ops/pipeline.py reconstruct_indel_coding_host)."""
+        from ..ops.pipeline import reconstruct_indel_coding_host
+
+        n_dev = len(batch.genome_ids)
+        region = self.contig_ref.subsequence(transcript.interval).codes
+        exon_bounds = np.asarray(
+            [
+                (int(lo - transcript.start), int(hi - transcript.start))
+                for lo, hi in np.asarray(transcript.exon_arrays(), np.int64)
+            ],
+            np.int64,
+        )
+        K = batch.pos.shape[1]
+        A = batch.ins_codes.shape[2]
+        codes, _lens = reconstruct_indel_coding_host(
+            region, exon_bounds,
+            transcript.strand is StrandSense.REVERSE,
+            batch.pos[:n_dev], batch.kind[:n_dev],
+            batch.del_len[:n_dev], batch.ins_codes[:n_dev],
+            batch.ins_len[:n_dev], batch.alt_code[:n_dev],
+            batch.valid[:n_dev], pad_coding=K * A,
+        )
+        return codes
+
     def _device_collect_indel(
         self, packed: np.ndarray, batch, transcript: TranscriptionSequence,
-        stats: MutateStats,
+        stats: MutateStats, recon: Optional[np.ndarray] = None,
     ) -> List[TranscriptMutateRecord]:
         """Unpack the general step's outputs (variable coding lengths)."""
         from ..sequence.alphabet import DNA5
 
         n_dev = len(batch.genome_ids)
         packed = packed[:n_dev]
-        nib = packed[:, :-8]
-        codes = _BASE5_LUT[nib].reshape(n_dev, -1)
+        if packed.shape[1] == 8:
+            codes = recon if recon is not None \
+                else self._reconstruct_indel_codes(batch, transcript)
+        else:
+            nib = packed[:, :-8]
+            codes = _BASE5_LUT[nib].reshape(n_dev, -1)
         W = codes.shape[1]
         tail = packed[:, -8:]
         distance = (
@@ -641,27 +749,63 @@ class MutateGenes:
                 if which == "snp":
                     specs.append(("snp", tx.transcript_id, tx.start, tx.end))
                     flat_inputs += [b.positions, b.alt_codes, b.valid]
-                    widths.append((tx.coding_nucleotides() + 2) // 3 + 8)
+                    widths.append(8)  # tail-only: strings rebuild host-side
                 else:
                     K, A = b.pos.shape[1], b.ins_codes.shape[2]
                     pad_c = ((max(K * A, 3) + 2) // 3) * 3
                     band_k = 63 if b.edit_bound <= 63 else (
                         127 if b.edit_bound <= 127 else 0
                     )
+                    # Payload mode: on a slow link the ~1 kB/record packed
+                    # sequence dominates the fetch, so ship 8-byte tails
+                    # and replay the apply in numpy; on a healthy link the
+                    # transfer is cheaper than the replay.
+                    tail_only = _link_rate_mb_s() < 40.0
                     specs.append(("indel", tx.transcript_id, tx.start, tx.end,
-                                  pad_c, band_k))
+                                  pad_c, band_k, tail_only))
                     flat_inputs += [b.pos, b.kind, b.del_len, b.ins_codes,
                                     b.ins_len, b.alt_code, b.valid]
-                    s_pad = ((tx.coding_nucleotides() + pad_c + 2) // 3) * 3
-                    widths.append(s_pad // 3 + 8)
+                    if tail_only:
+                        widths.append(8)
+                    else:
+                        s_pad = (
+                            (tx.coding_nucleotides() + pad_c + 2) // 3
+                        ) * 3
+                        widths.append(s_pad // 3 + 8)
                 step_txs.append(tx)
             fn, _n_inputs = self._pooled_program(tuple(specs), step_txs)
             handle = fn(*flat_inputs)
             _t1 = _time.perf_counter()
             timings["dispatch_s"] += _t1 - _t0
+            # Tail-only indel steps: kick the coding-string replay onto
+            # host threads NOW — the device fetch below blocks in
+            # np.asarray with the GIL released, so the numpy replay runs
+            # INSIDE the fetch wait instead of after it.
+            recon_jobs = [
+                (i, tx, b)
+                for spec, (i, which, tx, b) in zip(specs, steps)
+                if which == "indel" and spec[-1] is True
+            ]
+            rpool = None
+            futs = {}
+            if recon_jobs:
+                from ..parallel.host_pipeline import WorkflowThreads
+
+                rpool = WorkflowThreads(
+                    WorkflowThreads.default_threads(len(recon_jobs))
+                )
+                futs = {
+                    i: rpool.enqueue_future(
+                        self._reconstruct_indel_codes, b, tx
+                    )
+                    for i, tx, b in recon_jobs
+                }
             fused = np.asarray(handle, dtype=np.uint8)
             timings["fetch_s"] += _time.perf_counter() - _t1
             timings["n_device_fetches"] += 1
+            self._recon_cache = {i: f.result() for i, f in futs.items()}
+            if rpool is not None:
+                rpool.shutdown()
             assert fused.shape[1] == sum(widths), (fused.shape, widths)
             offsets = np.cumsum([0] + widths)
             for j, (i, which, _tx, _b) in enumerate(steps):
@@ -733,6 +877,7 @@ class MutateGenes:
             if (i, "indel") in fetched:
                 for rec in self._device_collect_indel(
                     fetched[(i, "indel")], indel_batch, transcript, stats,
+                    recon=getattr(self, "_recon_cache", {}).get(i),
                 ):
                     by_id[rec.genome_id] = rec
             results.append(([by_id[g] for g in sorted(by_id)], stats))

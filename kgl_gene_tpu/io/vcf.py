@@ -1105,10 +1105,19 @@ def _native_parse_population(
         # slice-and-concat loop copied every chunk 3-4 times — at 13 GB
         # that was most of the ingest wall time.
         carry_len = len(first) - body_start
-        # Start at 64 MiB (capped by chunk_size): a zero-filled multi-GiB
-        # bytearray costs hundreds of ms of memset per parse and buys
-        # nothing — the loop just refills more often on huge files.
-        buf = bytearray(max(min(chunk_size, 64 << 20), carry_len, 1 << 20))
+        # Size the buffer by what the file can actually deliver (capped at
+        # 64 MiB / chunk_size): a zero-filled 64 MiB bytearray costs ~25 ms
+        # of memset on this host — most of the parse wall time for a
+        # product-scale (few-MB) VCF.
+        try:
+            remaining = os.path.getsize(path) + (1 << 16)
+            if path.endswith((".gz", ".bgz", ".bgzf")):
+                remaining *= 8  # decompressed estimate; loop grows if short
+        except OSError:
+            remaining = 64 << 20
+        buf = bytearray(
+            max(min(chunk_size, 64 << 20, remaining), carry_len, 1 << 20)
+        )
         buf[:carry_len] = first[body_start:]
         first = b""
         eof = False

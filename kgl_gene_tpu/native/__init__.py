@@ -19,6 +19,7 @@ import numpy as np
 
 __all__ = [
     "native_available", "bgzf_decompress", "parse_genotypes",
+    "indel_reconstruct",
     "parse_vcf_records",
 ]
 
@@ -141,6 +142,20 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
         ]
         lib.kgt_bgzf_close.argtypes = [ctypes.c_void_p]
+        lib.kgt_indel_reconstruct.restype = ctypes.c_int
+        lib.kgt_indel_reconstruct.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,           # region, L
+            ctypes.c_void_p, ctypes.c_int,             # exon_bounds, n_exons
+            ctypes.c_int,                              # reverse
+            ctypes.c_void_p, ctypes.c_void_p,          # pos, kind
+            ctypes.c_void_p, ctypes.c_void_p,          # del_len, ins_codes
+            ctypes.c_void_p, ctypes.c_void_p,          # ins_len, alt
+            ctypes.c_void_p,                           # valid
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # B, K, A
+            ctypes.c_int64, ctypes.c_void_p,           # pad_coding, complement
+            ctypes.c_void_p, ctypes.c_void_p,          # coding_out, len_out
+            ctypes.c_int64,                            # S_pad
+        ]
         _lib = lib
         return _lib
 
@@ -390,3 +405,41 @@ def parse_vcf_records(
         return out
     finally:
         lib.kgt_vcf_result_free(res_ptr)
+
+
+def indel_reconstruct(region, exon_bounds, reverse_strand, pos, kind,
+                      del_len, ins_codes, ins_len, alt, valid,
+                      pad_coding, complement, s_pad):
+    """Native replay of the device indel apply (kgt_indel_reconstruct):
+    (coding (B, s_pad) uint8, coding_len (B,) int32), or None when the
+    native lib is unavailable (callers fall back to the numpy replay)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    region = np.ascontiguousarray(region, np.uint8)
+    exon_bounds = np.ascontiguousarray(exon_bounds, np.int64)
+    pos = np.ascontiguousarray(pos, np.int32)
+    kind = np.ascontiguousarray(kind, np.int8)
+    del_len = np.ascontiguousarray(del_len, np.int32)
+    ins_codes = np.ascontiguousarray(ins_codes, np.uint8)
+    ins_len = np.ascontiguousarray(ins_len, np.int32)
+    alt = np.ascontiguousarray(alt, np.uint8)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    complement = np.ascontiguousarray(complement, np.uint8)
+    B, K = pos.shape
+    A = ins_codes.shape[2]
+    coding = np.empty((B, int(s_pad)), np.uint8)
+    lens = np.empty(B, np.int32)
+    rc = lib.kgt_indel_reconstruct(
+        region.ctypes.data, len(region),
+        exon_bounds.ctypes.data, len(exon_bounds),
+        1 if reverse_strand else 0,
+        pos.ctypes.data, kind.ctypes.data, del_len.ctypes.data,
+        ins_codes.ctypes.data, ins_len.ctypes.data, alt.ctypes.data,
+        valid.ctypes.data, B, K, A,
+        int(pad_coding), complement.ctypes.data,
+        coding.ctypes.data, lens.ctypes.data, int(s_pad),
+    )
+    if rc != 0:
+        return None
+    return coding, lens

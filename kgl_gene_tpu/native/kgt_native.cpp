@@ -1234,4 +1234,126 @@ void kgt_vcf_result_free(KgtVcfResult* res) {
   std::free(res);
 }
 
+
+// ---------------------------------------------------------------------------
+// Indel-apply replay: byte-exact host reconstruction of the device indel
+// forward step's mutated coding sequences (ops/pipeline.py _forward_indel
+// steps 1-4). The pooled TPU program ships 8-byte tails over the remote
+// link; the strings re-derive here from the same capture tensors — one
+// sequential pass per genome, genomes fanned across threads (the numpy
+// replay cost ~55 ms per 250-genome step on this 2-vCPU host; this loop
+// runs it in ~1-2 ms). Reference semantics: AdjustedSequence +
+// ModifiedOffsetMap (kgl_mutation/kgl_mutation_sequence.h:26).
+// ---------------------------------------------------------------------------
+extern "C" int kgt_indel_reconstruct(
+    const uint8_t* region, int64_t L,
+    const int64_t* exon_bounds, int n_exons,
+    int reverse_strand,
+    const int32_t* pos, const int8_t* kind, const int32_t* del_len,
+    const uint8_t* ins_codes, const int32_t* ins_len, const uint8_t* alt,
+    const uint8_t* valid, int64_t B, int64_t K, int64_t A,
+    int64_t pad_coding, const uint8_t* complement,
+    uint8_t* coding_out, int32_t* len_out, int64_t S_pad) {
+  const int64_t W_out = L + pad_coding;
+  int workers = std::max(1u, std::thread::hardware_concurrency());
+  if (workers > B && B > 0) workers = static_cast<int>(B);
+  if (workers < 1) workers = 1;
+
+  auto run = [&](int w) {
+    std::vector<int32_t> marker(L + 1), ins_at(L + 1), m_map(L + 1);
+    std::vector<uint8_t> base(L), outbuf(W_out), rev(S_pad);
+    int64_t lo_b = B * w / workers, hi_b = B * (w + 1) / workers;
+    for (int64_t b = lo_b; b < hi_b; ++b) {
+      std::fill(marker.begin(), marker.end(), 0);
+      std::fill(ins_at.begin(), ins_at.end(), 0);
+      std::memcpy(base.data(), region, L);
+      std::fill(outbuf.begin(), outbuf.end(), 4);
+      const int32_t* bp = pos + b * K;
+      const int8_t* bk = kind + b * K;
+      const int32_t* bd = del_len + b * K;
+      const int32_t* bl = ins_len + b * K;
+      const uint8_t* ba = alt + b * K;
+      const uint8_t* bv = valid + b * K;
+      for (int64_t k = 0; k < K; ++k) {
+        if (!bv[k]) continue;
+        int64_t p = bp[k];
+        if (bk[k] == 0) {
+          if (p >= 0 && p < L) base[p] = ba[k];
+        } else if (bk[k] == 1) {
+          if (p >= 0 && p <= L) {
+            marker[p] += 1;
+            int64_t e = std::min<int64_t>(p + bd[k], L);
+            marker[e] -= 1;
+          }
+        } else if (bk[k] == 2) {
+          if (p >= 0 && p <= L) ins_at[p] += bl[k];
+        }
+      }
+      // exclusive prefix of unit = ins_at + keep; m_map = cum + ins_at
+      int64_t cum = 0, run_del = 0;
+      for (int64_t p = 0; p <= L; ++p) {
+        int keep = 0;
+        if (p < L) {
+          run_del += marker[p];
+          keep = run_del > 0 ? 0 : 1;
+          if (keep) {
+            int64_t dst = cum + ins_at[p];
+            if (dst < W_out) outbuf[dst] = base[p];
+          }
+        }
+        m_map[p] = static_cast<int32_t>(cum + ins_at[p]);
+        cum += ins_at[p] + keep;
+      }
+      // inserted bases at cum_excl[pos] + j = m_map[pos] - ins_at[pos] + j
+      for (int64_t k = 0; k < K; ++k) {
+        if (!bv[k] || bk[k] != 2) continue;
+        int64_t p = bp[k];
+        if (p < 0 || p > L) continue;
+        int64_t start = m_map[p] - ins_at[p];
+        const uint8_t* codes = ins_codes + (b * K + k) * A;
+        int64_t n = std::min<int64_t>(bl[k], A);
+        for (int64_t j = 0; j < n; ++j) {
+          int64_t dst = start + j;
+          if (dst >= 0 && dst < W_out) outbuf[dst] = codes[j];
+        }
+      }
+      // exon splice in modified coordinates
+      uint8_t* out_row = coding_out + b * S_pad;
+      std::memset(out_row, 4, S_pad);
+      int64_t cs = 0;
+      for (int e = 0; e < n_exons; ++e) {
+        int64_t lo = exon_bounds[2 * e], hi = exon_bounds[2 * e + 1];
+        int64_t mlo = m_map[lo], mhi = m_map[hi];
+        int64_t le = mhi - mlo;
+        for (int64_t c = 0; c < le && cs + c < S_pad; ++c) {
+          int64_t src = mlo + c;
+          if (src < 0) src = 0;
+          if (src >= W_out) src = W_out - 1;
+          out_row[cs + c] = outbuf[src];
+        }
+        cs += le;
+      }
+      len_out[b] = static_cast<int32_t>(cs);
+      if (reverse_strand) {
+        for (int64_t c = 0; c < S_pad; ++c) {
+          if (c < cs) {
+            int64_t src = cs - 1 - c;
+            if (src < 0) src = 0;
+            if (src >= S_pad) src = S_pad - 1;
+            rev[c] = complement[out_row[src]];
+          } else {
+            rev[c] = 4;
+          }
+        }
+        std::memcpy(out_row, rev.data(), S_pad);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < workers; ++t) pool.emplace_back(run, t);
+  run(0);
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
 }  // extern "C"

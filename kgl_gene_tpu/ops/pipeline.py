@@ -56,6 +56,14 @@ class ForwardOutputs(NamedTuple):
     validity_code: jnp.ndarray    # (B,) int32: 0 valid / 1 no-stop / 2 nonsense / 3 no-start
 
 
+def _complement_codes(x):
+    """DNA5 complement without the 5-entry LUT gather: COMPLEMENT is
+    [3,2,1,0,4], i.e. 3-x for bases and identity for N — tiny-table
+    gathers cost ~6 ns/element on TPU (a (256, 3000) complement was ~5 ms,
+    more than the whole rest of the step)."""
+    return jnp.where(x >= 4, x, 3 - x).astype(x.dtype)
+
+
 def _splice_slices(
     batch: jnp.ndarray,          # (B, L)
     exon_starts: jnp.ndarray,    # (E,) int32 region-relative exon starts
@@ -87,7 +95,7 @@ def _forward(
     mutated = apply_snp_batch(region, positions, alt_codes, valid)
     coding = _splice_slices(mutated, exon_starts, exon_lens)
     if reverse_strand:
-        coding = complement_lut[coding[:, ::-1]]
+        coding = _complement_codes(coding[:, ::-1])
     if use_pallas:
         from .variant_apply import translate_batch_pallas
 
@@ -98,7 +106,7 @@ def _forward(
     # Reference coding (no variants) for the distance baseline.
     ref_coding = _splice_slices(region[None, :], exon_starts, exon_lens)
     if reverse_strand:
-        ref_coding = complement_lut[ref_coding[:, ::-1]]
+        ref_coding = _complement_codes(ref_coding[:, ::-1])
     B, S = coding.shape
     lens = jnp.full((B,), S, dtype=jnp.int32)
     K_snps = positions.shape[1]
@@ -159,6 +167,118 @@ def _forward(
     return ForwardOutputs(mutated_coding=coding, amino=amino, distance=distance,
                           allele_counts=allele_counts, valid_protein=valid_protein,
                           validity_code=validity_code)
+
+
+def reconstruct_indel_coding_host(
+    region_codes: np.ndarray,     # (L,) reference region codes
+    exon_bounds: np.ndarray,      # (E, 2) region-relative exon [lo, hi)
+    reverse_strand: bool,
+    pos: np.ndarray, kind: np.ndarray, del_len: np.ndarray,
+    ins_codes: np.ndarray, ins_len: np.ndarray, alt_code: np.ndarray,
+    valid: np.ndarray,
+    pad_coding: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy replay of _forward_indel steps 1-4 (SNP scatter, deletion
+    mask, insertion prefix map, exon splice in modified coordinates,
+    strand convert): (coding (B, S_pad) codes, coding_len (B,)).
+
+    Exists so the pooled device program can ship 8-byte tails instead of
+    ~1 kB packed sequences per record — the mutant strings re-derive
+    host-side from the SAME capture tensors the device consumed
+    (byte-exact by construction: identical formulas; pinned by
+    tests/test_indel_device.py reconstruction parity)."""
+    B, K = pos.shape
+    A = ins_codes.shape[2]
+    L = int(region_codes.shape[0])
+    exon_bounds = np.asarray(exon_bounds, np.int64)
+    exon_lens_ref = [int(hi - lo) for lo, hi in exon_bounds]
+    S_ref = int(sum(exon_lens_ref))
+    pad_coding = ((max(pad_coding, 3) + 2) // 3) * 3
+    S_pad = ((S_ref + pad_coding + 2) // 3) * 3
+
+    # Native single-pass replay (kgt_native.cpp kgt_indel_reconstruct):
+    # ~30x the numpy form on this host; falls through to numpy when the
+    # lib is unavailable. Parity pinned by test_indel_device.py.
+    from ..native import indel_reconstruct
+
+    native = indel_reconstruct(
+        region_codes, exon_bounds, reverse_strand, pos, kind, del_len,
+        ins_codes, ins_len, alt_code, valid, pad_coding, DNA5.COMPLEMENT,
+        S_pad,
+    )
+    if native is not None:
+        return native
+
+    pos = pos.astype(np.int32)
+    valid = valid.astype(bool)
+    snp_m = valid & (kind == 0)
+    del_m = valid & (kind == 1)
+    ins_m = valid & (kind == 2)
+
+    # 1. SNPs in place.
+    base = np.repeat(region_codes[None, :].astype(np.uint8), B, axis=0)
+    bi, ki = np.nonzero(snp_m & (pos >= 0) & (pos < L))
+    base[bi, pos[bi, ki]] = alt_code[bi, ki].astype(np.uint8)
+
+    # 2. Deletion mask via +-1 markers and a cumulative sum.
+    marker = np.zeros((B, L + 1), np.int32)
+    bi, ki = np.nonzero(del_m & (pos >= 0) & (pos <= L))
+    np.add.at(marker, (bi, pos[bi, ki]), 1)
+    ends = np.minimum(pos + del_len, L)
+    np.add.at(marker, (bi, ends[bi, ki]), -1)
+    deleted = np.cumsum(marker[:, :L], axis=1) > 0
+    keep = (~deleted).astype(np.int32)
+
+    # 3. Insertions before original position p.
+    ins_at = np.zeros((B, L + 1), np.int32)
+    bi, ki = np.nonzero(ins_m & (pos >= 0) & (pos <= L))
+    np.add.at(ins_at, (bi, pos[bi, ki]), ins_len[bi, ki].astype(np.int32))
+    unit = ins_at + np.pad(keep, ((0, 0), (0, 1)))
+    cum = np.cumsum(unit, axis=1) - unit
+    m_map = cum + ins_at
+    W_out = L + pad_coding
+    out = np.full((B, W_out), 4, np.uint8)
+    kb, kp = np.nonzero(keep[:, :L] > 0)
+    dst = m_map[kb, kp]
+    ok = dst < W_out  # device scatter drops out-of-buffer (mode="drop")
+    out[kb[ok], dst[ok]] = base[kb[ok], kp[ok]]
+    ins_start = np.take_along_axis(cum, np.where(ins_m, pos, L), axis=1)
+    for j in range(A):
+        bi, ki = np.nonzero(ins_m & (j < ins_len) & (pos >= 0) & (pos <= L))
+        dst = ins_start[bi, ki] + j
+        ok = dst < W_out
+        out[bi[ok], dst[ok]] = ins_codes[bi[ok], ki[ok], j].astype(np.uint8)
+
+    # 4. Exon splice in modified coordinates (flat int32 gathers: the
+    # int64 take_along_axis form cost ~2x on the 2-vCPU host).
+    c_idx = np.arange(S_pad, dtype=np.int32)[None, :]
+    gather_idx = np.zeros((B, S_pad), np.int32)
+    in_any = np.zeros((B, S_pad), bool)
+    cs = np.zeros((B, 1), np.int32)
+    for lo, hi in exon_bounds:
+        mlo = m_map[:, int(lo)][:, None]
+        mhi = m_map[:, int(hi)][:, None]
+        le = mhi - mlo
+        sel = (c_idx >= cs) & (c_idx < cs + le)
+        gather_idx = np.where(sel, mlo + (c_idx - cs), gather_idx)
+        in_any |= sel
+        cs = cs + le
+    coding_len = cs[:, 0]
+    flat = (
+        np.clip(gather_idx, 0, W_out - 1)
+        + (np.arange(B, dtype=np.int64) * W_out)[:, None]
+    )
+    coding = out.reshape(-1)[flat]
+    coding = np.where(in_any, coding, 4).astype(np.uint8)
+    if reverse_strand:
+        rev_idx = np.clip(coding_len[:, None] - 1 - c_idx, 0, S_pad - 1)
+        flat = rev_idx + (np.arange(B, dtype=np.int64) * S_pad)[:, None]
+        coding = np.where(
+            c_idx < coding_len[:, None],
+            DNA5.COMPLEMENT[coding.reshape(-1)[flat]],
+            4,
+        ).astype(np.uint8)
+    return coding, coding_len
 
 
 class IndelForwardOutputs(NamedTuple):
@@ -257,29 +377,66 @@ def _forward_indel(
         )
 
     # 4. Exon splice in modified coordinates: coding position c belongs to
-    #    exon e when cs_e <= c < cs_e + le_e; gather from the out buffer.
+    #    exon e when cs_e <= c < cs_e + le_e.
+    #
+    #    band_k > 0 (edit_bound <= band_k, static): the per-genome shift
+    #    sigma_e = mlo_e - cs_e deviates from the static reference offset
+    #    base_e = lo_e - cs_ref_e by at most 2*edit_bound, so the splice
+    #    is a per-genome one-hot depthwise CONVOLUTION over a +-2k window
+    #    instead of a (B, S_pad) gather (~6 ns/element on TPU, ~6 ms at
+    #    the product shape; the conv runs in ~1.5 ms and stays one fused
+    #    op). band_k == 0 keeps the general gather.
     c_idx = jnp.arange(S_pad, dtype=jnp.int32)[None, :]  # (1, S_pad)
-    gather_idx = jnp.zeros((B, S_pad), jnp.int32)
-    in_any = jnp.zeros((B, S_pad), bool)
+    use_conv = band_k > 0
     cs = jnp.zeros((B, 1), jnp.int32)
-    for e, (lo, hi) in enumerate(exon_bounds):
-        mlo = m_map[:, int(lo)][:, None]
-        mhi = m_map[:, int(hi)][:, None]
-        le = mhi - mlo
-        sel = (c_idx >= cs) & (c_idx < cs + le)
-        gather_idx = jnp.where(sel, mlo + (c_idx - cs), gather_idx)
-        in_any = in_any | sel
-        cs = cs + le
-    coding_len = cs[:, 0]
-    coding = jnp.take_along_axis(
-        out, jnp.clip(gather_idx, 0, L + pad_coding - 1), axis=1
-    )
-    coding = jnp.where(in_any, coding, 4)
+    if use_conv:
+        R = 2 * band_k
+        outf = jnp.pad(out, ((0, 0), (R, R + S_pad))).astype(jnp.float32)
+        coding = jnp.full((B, S_pad), 4, jnp.uint8)
+        cs_ref = 0
+        for e, (lo, hi) in enumerate(exon_bounds):
+            mlo = m_map[:, int(lo)][:, None]
+            mhi = m_map[:, int(hi)][:, None]
+            le = mhi - mlo
+            base = int(lo) - cs_ref  # static per-exon reference offset
+            # window[u] = out[base - R + u]; filter tap s selects shift
+            # sigma - base = s - R, so z[c] = out[c + sigma] exactly.
+            win = jax.lax.dynamic_slice_in_dim(
+                outf, base, S_pad + 2 * R, axis=1
+            )
+            delta = jnp.clip((mlo - cs)[:, 0] - base + R, 0, 2 * R)
+            filt = jax.nn.one_hot(delta, 2 * R + 1, dtype=jnp.float32)
+            z = jax.lax.conv_general_dilated(
+                win[None], filt[:, None, :], window_strides=(1,),
+                padding="VALID", feature_group_count=B,
+                precision=jax.lax.Precision.HIGHEST,
+            )[0]
+            sel = (c_idx >= cs) & (c_idx < cs + le)
+            coding = jnp.where(sel, jnp.rint(z).astype(jnp.uint8), coding)
+            cs = cs + le
+            cs_ref += int(hi) - int(lo)
+        coding_len = cs[:, 0]
+    else:
+        gather_idx = jnp.zeros((B, S_pad), jnp.int32)
+        in_any = jnp.zeros((B, S_pad), bool)
+        for e, (lo, hi) in enumerate(exon_bounds):
+            mlo = m_map[:, int(lo)][:, None]
+            mhi = m_map[:, int(hi)][:, None]
+            le = mhi - mlo
+            sel = (c_idx >= cs) & (c_idx < cs + le)
+            gather_idx = jnp.where(sel, mlo + (c_idx - cs), gather_idx)
+            in_any = in_any | sel
+            cs = cs + le
+        coding_len = cs[:, 0]
+        coding = jnp.take_along_axis(
+            out, jnp.clip(gather_idx, 0, L + pad_coding - 1), axis=1
+        )
+        coding = jnp.where(in_any, coding, 4)
     if reverse_strand:
         rev_idx = jnp.clip(coding_len[:, None] - 1 - c_idx, 0, S_pad - 1)
         coding = jnp.where(
             c_idx < coding_len[:, None],
-            complement_lut[jnp.take_along_axis(coding, rev_idx, axis=1)],
+            _complement_codes(jnp.take_along_axis(coding, rev_idx, axis=1)),
             4,
         )
 
@@ -318,7 +475,7 @@ def _forward_indel(
         tuple(exon_lens_ref),
     )
     if reverse_strand:
-        ref_coding = complement_lut[ref_coding[:, ::-1]]
+        ref_coding = _complement_codes(ref_coding[:, ::-1])
     ref_b = jnp.broadcast_to(ref_coding, (B, S_ref)).astype(jnp.int32)
     len_ref = jnp.full((B,), S_ref, jnp.int32)
     if use_pallas and band_k > 0:

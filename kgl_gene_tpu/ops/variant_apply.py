@@ -70,7 +70,9 @@ def gather_splice(mutated: jnp.ndarray, splice_index: jnp.ndarray) -> jnp.ndarra
 @jax.jit
 def reverse_complement_batch(coding: jnp.ndarray, complement_lut: jnp.ndarray) -> jnp.ndarray:
     """(B, S) -> (B, S) reverse-complemented (for '-' strand transcripts)."""
-    return complement_lut[coding[:, ::-1]]
+    # arithmetic complement (see ops/pipeline._complement_codes)
+    rev = coding[:, ::-1]
+    return jnp.where(rev >= 4, rev, 3 - rev).astype(rev.dtype)
 
 
 def _codon_index(coding: jnp.ndarray) -> jnp.ndarray:

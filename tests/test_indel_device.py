@@ -281,3 +281,134 @@ class TestIndelCaptureRouting:
             assert a.modified_coding == b.modified_coding, a.genome_id
             assert a.validity == b.validity, a.genome_id
         assert stats_d == stats_h
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_host_reconstruction_matches_device(seed, reverse):
+    """reconstruct_indel_coding_host (the tail-only transfer path's
+    string rebuild) must be byte-exact with the device step's
+    mutated_coding — identical formulas replayed in numpy."""
+    from kgl_gene_tpu.ops.pipeline import reconstruct_indel_coding_host
+
+    rng = np.random.default_rng(seed)
+    L, K, A = 300, 8, 6
+    region = rng.integers(0, 4, size=L).astype(np.uint8)
+    exons = [(30, 120), (150, 270)]
+    step = make_indel_forward_step(
+        region, np.asarray(exons, dtype=np.int64), region_start=0,
+        reverse_strand=reverse, pad_coding=K * A,
+    )
+    B = 12
+    pos = np.zeros((B, K), np.int32)
+    kind = np.zeros((B, K), np.int8)
+    dlen = np.zeros((B, K), np.int32)
+    icodes = np.zeros((B, K, A), np.uint8)
+    ilen = np.zeros((B, K), np.int32)
+    alt = np.zeros((B, K), np.uint8)
+    valid = np.zeros((B, K), bool)
+    for b in range(B):
+        for s, (p, k, d, ic, il, a) in enumerate(
+            _random_slots(rng, L, K, A, exons)
+        ):
+            pos[b, s], kind[b, s], dlen[b, s] = p, k, d
+            icodes[b, s], ilen[b, s], alt[b, s] = ic, il, a
+            valid[b, s] = True
+    out = step(pos, kind, dlen, icodes, ilen, alt, valid)
+    dev_coding = np.asarray(out.mutated_coding)
+    dev_len = np.asarray(out.coding_len)
+    host_coding, host_len = reconstruct_indel_coding_host(
+        region, np.asarray(exons, np.int64), reverse,
+        pos, kind, dlen, icodes, ilen, alt, valid, pad_coding=K * A,
+    )
+    np.testing.assert_array_equal(host_len, dev_len)
+    for b in range(B):
+        np.testing.assert_array_equal(
+            host_coding[b, : host_len[b]], dev_coding[b, : dev_len[b]],
+            err_msg=str(b),
+        )
+
+
+def test_numpy_fallback_matches_native(monkeypatch):
+    """The numpy replay (native-lib-unavailable fallback) must equal the
+    native single-pass reconstruction."""
+    import kgl_gene_tpu.ops.pipeline as pl
+    import kgl_gene_tpu.native as native_mod
+
+    rng = np.random.default_rng(17)
+    L, K, A = 300, 8, 6
+    region = rng.integers(0, 4, size=L).astype(np.uint8)
+    exons = np.asarray([(30, 120), (150, 270)], np.int64)
+    B = 8
+    pos = rng.integers(0, L, (B, K)).astype(np.int32)
+    kind = rng.integers(0, 3, (B, K)).astype(np.int8)
+    dlen = rng.integers(1, 5, (B, K)).astype(np.int32)
+    icodes = rng.integers(0, 4, (B, K, A)).astype(np.uint8)
+    ilen = rng.integers(1, A + 1, (B, K)).astype(np.int32)
+    alt = rng.integers(0, 4, (B, K)).astype(np.uint8)
+    valid = rng.random((B, K)) < 0.4
+    for reverse in (False, True):
+        nat = pl.reconstruct_indel_coding_host(
+            region, exons, reverse, pos, kind, dlen, icodes, ilen, alt,
+            valid, pad_coding=K * A,
+        )
+        monkeypatch.setattr(
+            pl, "reconstruct_indel_coding_host",
+            pl.reconstruct_indel_coding_host,
+        )
+        monkeypatch.setattr(
+            native_mod, "indel_reconstruct",
+            lambda *a, **k: None,
+        )
+        py = pl.reconstruct_indel_coding_host(
+            region, exons, reverse, pos, kind, dlen, icodes, ilen, alt,
+            valid, pad_coding=K * A,
+        )
+        monkeypatch.undo()
+        np.testing.assert_array_equal(nat[1], py[1])
+        np.testing.assert_array_equal(nat[0], py[0])
+
+
+@pytest.mark.parametrize("band_k", [63, 127])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_conv_splice_matches_gather(band_k, reverse):
+    """band_k > 0 routes the exon splice through the one-hot depthwise
+    conv; it must match the band_k == 0 gather path exactly."""
+    rng = np.random.default_rng(band_k)
+    L, K, A = 300, 8, 6
+    region = rng.integers(0, 4, size=L).astype(np.uint8)
+    exons = np.asarray([(30, 120), (150, 270)], np.int64)
+    B = 12
+    pos = np.zeros((B, K), np.int32)
+    kind = np.zeros((B, K), np.int8)
+    dlen = np.zeros((B, K), np.int32)
+    icodes = np.zeros((B, K, A), np.uint8)
+    ilen = np.zeros((B, K), np.int32)
+    alt = np.zeros((B, K), np.uint8)
+    valid = np.zeros((B, K), bool)
+    for b in range(B):
+        for s, (p, k, d, ic, il, a) in enumerate(
+            _random_slots(rng, L, K, A, exons)
+        ):
+            pos[b, s], kind[b, s], dlen[b, s] = p, k, d
+            icodes[b, s], ilen[b, s], alt[b, s] = ic, il, a
+            valid[b, s] = True
+    step_conv = make_indel_forward_step(
+        region, exons, region_start=0, reverse_strand=reverse,
+        pad_coding=K * A, band_k=band_k,
+    )
+    step_gather = make_indel_forward_step(
+        region, exons, region_start=0, reverse_strand=reverse,
+        pad_coding=K * A, band_k=0,
+    )
+    a_out = step_conv(pos, kind, dlen, icodes, ilen, alt, valid)
+    b_out = step_gather(pos, kind, dlen, icodes, ilen, alt, valid)
+    np.testing.assert_array_equal(
+        np.asarray(a_out.coding_len), np.asarray(b_out.coding_len)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_out.mutated_coding), np.asarray(b_out.mutated_coding)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_out.distance), np.asarray(b_out.distance)
+    )
