@@ -19,7 +19,7 @@ import numpy as np
 
 __all__ = [
     "native_available", "bgzf_decompress", "parse_genotypes",
-    "indel_reconstruct",
+    "indel_reconstruct", "csr_build",
     "parse_vcf_records",
 ]
 
@@ -142,6 +142,19 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
         ]
         lib.kgt_bgzf_close.argtypes = [ctypes.c_void_p]
+        lib.kgt_mark_presence.restype = None
+        lib.kgt_mark_presence.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.kgt_csr_build.restype = ctypes.c_int64
+        lib.kgt_csr_build.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,  # rows, lens
+            ctypes.c_void_p, ctypes.c_int64,                   # gidx, n_parts
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,   # ranks, n_g, key_max
+            ctypes.c_int64,                                    # total
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, # outputs
+        ]
         lib.kgt_indel_reconstruct.restype = ctypes.c_int
         lib.kgt_indel_reconstruct.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,           # region, L
@@ -443,3 +456,49 @@ def indel_reconstruct(region, exon_bounds, reverse_strand, pos, kind,
     if rc != 0:
         return None
     return coding, lens
+
+
+def csr_build(parts, rank_of_row, n_g, key_max, total):
+    """Native variant-major CSR dedup build (kgt_csr_build): parts is a
+    list of (gidx, rows int32 array); returns (values uint8, variant_of
+    int32, genome_of int32) truncated to nnz, or None when the lib is
+    unavailable (callers fall back to the numpy radix-sort form)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    keep = [np.ascontiguousarray(rows, np.int32) for _g, rows in parts]
+    n_parts = len(keep)
+    ptrs = (ctypes.c_void_p * max(n_parts, 1))(
+        *[a.ctypes.data for a in keep]
+    )
+    lens = np.asarray([len(a) for a in keep], np.int64)
+    gidx = np.asarray([g for g, _r in parts], np.int32)
+    rank_of_row = np.ascontiguousarray(rank_of_row, np.int32)
+    values = np.empty(total, np.uint8)
+    variant_of = np.empty(total, np.int32)
+    genome_of = np.empty(total, np.int32)
+    nnz = lib.kgt_csr_build(
+        ptrs, lens.ctypes.data, gidx.ctypes.data, n_parts,
+        rank_of_row.ctypes.data, int(n_g), int(key_max), int(total),
+        values.ctypes.data, variant_of.ctypes.data, genome_of.ctypes.data,
+    )
+    if nnz < 0:
+        return None
+    return values[:nnz], variant_of[:nnz], genome_of[:nnz]
+
+
+def mark_presence(parts, arena_len):
+    """Native presence bitmap over arena rows; None without the lib."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    keep = [np.ascontiguousarray(rows, np.int32) for _g, rows in parts]
+    n_parts = len(keep)
+    ptrs = (ctypes.c_void_p * max(n_parts, 1))(
+        *[a.ctypes.data for a in keep]
+    )
+    lens = np.asarray([len(a) for a in keep], np.int64)
+    present = np.zeros(arena_len, np.uint8)
+    lib.kgt_mark_presence(ptrs, lens.ctypes.data, n_parts,
+                          present.ctypes.data)
+    return present.view(bool)

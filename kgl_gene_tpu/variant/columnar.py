@@ -194,11 +194,16 @@ class VariantMajorCSR:
             for contig in population.genome_map[gid].contig_map.values():
                 rows = contig.incidence_rows()
                 if len(rows):
-                    parts.append((gidx, rows))
+                    # one int32 conversion shared by both native passes
+                    parts.append((gidx, np.ascontiguousarray(rows, np.int32)))
                     total += len(rows)
-        present = np.zeros(len(arena), dtype=bool)
-        for _gidx, rp in parts:
-            present[rp] = True
+        from ..native import mark_presence
+
+        present = mark_presence(parts, len(arena))
+        if present is None:
+            present = np.zeros(len(arena), dtype=bool)
+            for _gidx, rp in parts:
+                present[rp] = True
         sorted_rows = np.nonzero(present)[0]
         order = np.lexsort(
             (arena.offsets[sorted_rows], arena.contigs[sorted_rows])
@@ -209,39 +214,56 @@ class VariantMajorCSR:
         self.variant_count = n_v
 
         # Dedup (variant, genome) pairs; the pair multiplicity (clamped to
-        # 2) is the zygosity code. The key sort uses numpy's stable
-        # (radix) integer sort in the narrowest dtype that fits — ~3x the
-        # introsort np.unique would run on 10^8 int64 keys.
+        # 2) is the zygosity code. Preferred path: the native threaded
+        # key-write + LSD radix sort + run-length dedup
+        # (native/kgt_native.cpp kgt_csr_build — the reference builds its
+        # transposed view threaded, kgl_variant_db_variant.h:26-83; the
+        # single-threaded numpy sort was 84% of the 1M x 1k scale stats
+        # phase). Fallback: the numpy stable-radix form below.
         key_max = n_v * n_g
         key_dtype = np.int32 if key_max < 2**31 else np.int64
-        rank_of_row = np.empty(len(arena), dtype=key_dtype)
-        rank_of_row[self.rows] = np.arange(n_v, dtype=key_dtype)
-        key = np.empty(total, dtype=key_dtype)
-        off = 0
-        for gidx, rp in parts:
-            k = key[off : off + len(rp)]
-            np.take(rank_of_row, rp, out=k)
-            k *= key_dtype(n_g)
-            k += key_dtype(gidx)
-            off += len(rp)
-        del parts
-        key = np.sort(key, kind="stable")
-        if len(key):
-            first = np.empty(len(key), dtype=bool)
-            first[0] = True
-            np.not_equal(key[1:], key[:-1], out=first[1:])
-            starts = np.nonzero(first)[0]
-            counts = np.empty(len(starts), dtype=np.int64)
-            np.subtract(starts[1:], starts[:-1], out=counts[:-1])
-            counts[-1] = len(key) - starts[-1]
-            uniq = key[starts]  # native (int32 when the key space fits)
+        rank_dtype = np.int32 if n_v < 2**31 else np.int64
+        rank_of_row = np.empty(len(arena), dtype=rank_dtype)
+        rank_of_row[self.rows] = np.arange(n_v, dtype=rank_dtype)
+        native = None
+        if rank_dtype == np.int32 and total:
+            from ..native import csr_build
+
+            native = csr_build(parts, rank_of_row, n_g, key_max, total)
+        if native is not None:
+            # int32 columns (nnz-sized): widening to int64 would copy
+            # ~700 MB at gnomAD scale for nothing.
+            self.values, self.variant_of, self.genome_of = native
+            del parts
         else:
-            uniq = np.empty(0, np.int64)
-            counts = np.empty(0, np.int64)
-        self.values = np.minimum(counts, 2).astype(np.uint8)   # (nnz,)
-        # divmod in the key's own width — int64 division over 10^8 keys
-        # costs whole seconds more than int32
-        self.variant_of, self.genome_of = np.divmod(uniq, uniq.dtype.type(n_g))
+            key = np.empty(total, dtype=key_dtype)
+            off = 0
+            for gidx, rp in parts:
+                k = key[off : off + len(rp)]
+                np.take(rank_of_row.astype(key_dtype, copy=False), rp, out=k)
+                k *= key_dtype(n_g)
+                k += key_dtype(gidx)
+                off += len(rp)
+            del parts
+            key = np.sort(key, kind="stable")
+            if len(key):
+                first = np.empty(len(key), dtype=bool)
+                first[0] = True
+                np.not_equal(key[1:], key[:-1], out=first[1:])
+                starts = np.nonzero(first)[0]
+                counts = np.empty(len(starts), dtype=np.int64)
+                np.subtract(starts[1:], starts[:-1], out=counts[:-1])
+                counts[-1] = len(key) - starts[-1]
+                uniq = key[starts]  # native (int32 when the key space fits)
+            else:
+                uniq = np.empty(0, np.int64)
+                counts = np.empty(0, np.int64)
+            self.values = np.minimum(counts, 2).astype(np.uint8)   # (nnz,)
+            # divmod in the key's own width — int64 division over 10^8
+            # keys costs whole seconds more than int32
+            self.variant_of, self.genome_of = np.divmod(
+                uniq, uniq.dtype.type(n_g)
+            )
         # variant_of is sorted: indptr from a bincount + cumsum (sequential
         # passes) instead of 10^6 binary searches over 10^8 keys (cache
         # misses made searchsorted the single slowest build step)

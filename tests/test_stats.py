@@ -375,3 +375,23 @@ class TestInbreedLocusSelection:
         est_lo = float(rows[0]["Simple"])
         est_hi = float(rows[-1]["Simple"])
         assert est_hi > est_lo + 0.2
+
+
+def test_native_csr_matches_numpy_fallback(monkeypatch, tmp_path):
+    """kgt_csr_build must produce exactly the numpy radix-sort build."""
+    import kgl_gene_tpu.native as native_mod
+    from kgl_gene_tpu.variant.columnar import VariantMajorCSR
+
+    from fixtures import write_vcf
+
+    path = write_vcf(str(tmp_path / "pop.vcf"))
+    pop, _h, _i = parse_vcf_population(path, "pop", "PF_DIPLOID")
+    a = VariantMajorCSR(pop)
+    monkeypatch.setattr(native_mod, "csr_build", lambda *args: None)
+    b = VariantMajorCSR(pop)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(a.values, b.values)
+    np.testing.assert_array_equal(a.variant_of, b.variant_of)
+    np.testing.assert_array_equal(a.genome_of, b.genome_of)
+    np.testing.assert_array_equal(a.indptr, b.indptr)
+    np.testing.assert_array_equal(a.rows, b.rows)
