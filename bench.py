@@ -258,10 +258,13 @@ def bench_phylo(jax):
         aln_p, ChainState(tree_p.copy(), model_p), n_chains=1, seed=3,
         backend="device",
     )
-    sampler.run(2)  # warm: compiles the padded full/path programs
-    start = time.perf_counter()
-    sampler.run(10)
-    product_rate = 10 / (time.perf_counter() - start)
+    sampler.run(3)  # warm: compiles the pooled sweep + padded full programs
+    prod_windows = []
+    for _ in range(3):  # 3 x 12 = 36 timed iterations (>= 30, w/ spread)
+        start = time.perf_counter()
+        sampler.run(12)
+        prod_windows.append(12 / (time.perf_counter() - start))
+    product_rate, product_spread = _median_spread(prod_windows)
     host_chain_p = Chain(
         aln_p, ChainState(tree_p.copy(), model_p), rng=random.Random(2),
     )
@@ -270,7 +273,7 @@ def bench_phylo(jax):
         host_chain_p.next_step()
     product_host_rate = 3 / (time.perf_counter() - start)
     return (device_rate, device_rate / host_rate, spread,
-            product_rate, product_rate / product_host_rate)
+            product_rate, product_rate / product_host_rate, product_spread)
 
 
 def bench_scale(jax):
@@ -406,7 +409,8 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         e2e_genomes_per_s, e2e_breakdown, e2e_spread = bench_end_to_end(jax, tmp)
     (phylo_iters_per_s, phylo_vs_host, phylo_spread,
-     phylo_product_iters_per_s, phylo_product_vs_host) = bench_phylo(jax)
+     phylo_product_iters_per_s, phylo_product_vs_host,
+     phylo_product_spread) = bench_phylo(jax)
     scale = bench_scale(jax)
 
     # Regression guard (VERDICT r4 weak #5 -> r5 #8): EVERY headline metric
@@ -424,7 +428,8 @@ def main():
             ("allpairs_gcups", allpairs_gcups, "allpairs_spread"),
             ("e2e_genomes_per_s", e2e_genomes_per_s, "e2e_spread"),
             ("phylo_iters_per_s", phylo_iters_per_s, "phylo_spread"),
-            ("phylo_product_iters_per_s", phylo_product_iters_per_s, None),
+            ("phylo_product_iters_per_s", phylo_product_iters_per_s,
+             "phylo_product_spread"),
         ]
         ratios = []
         for key, now, spread_key in guarded:
@@ -466,6 +471,7 @@ def main():
         "phylo_spread": round(phylo_spread, 4),
         "phylo_product_iters_per_s": round(phylo_product_iters_per_s, 2),
         "phylo_product_vs_host": round(phylo_product_vs_host, 1),
+        "phylo_product_spread": round(phylo_product_spread, 4),
         "regression_guard": guard,
         "scale": scale,
         "batch": batch,

@@ -15,6 +15,8 @@ applied at the root.
 
 from __future__ import annotations
 
+import os
+
 from typing import Dict, Optional
 
 import jax
@@ -312,8 +314,13 @@ class CachedPartialsLikelihood:
 
             @jax.jit
             def _path(partials, child_index, internal_index, root_index,
-                      child_P, path_ks, frequencies, rate_weights,
-                      p_invariant, constant_like):
+                      child_P, new_P, k0, c0, path_ks, frequencies,
+                      rate_weights, p_invariant, constant_like):
+                # fold the proposed edge's refreshed P into the SAME
+                # program: a separate .at[].set() execution cost one more
+                # ~30 ms tunnel dispatch per proposal.
+                child_P = child_P.at[k0, c0].set(new_P)
+
                 def step(partials, k):
                     live = k >= 0
                     ks = jnp.maximum(k, 0)
@@ -335,10 +342,32 @@ class CachedPartialsLikelihood:
                     partials[root_index], frequencies, rate_weights,
                     p_invariant, constant_like,
                 )
-                return partials, ll
+                return partials, child_P, ll
 
             fn = self._jit_path_cache[key] = _path
         return fn
+
+    def _device_consts(self, pi: np.ndarray, constant: np.ndarray, model):
+        """Device-resident per-model constants, cached by content: the
+        constant-site vector alone is n_sites float64 (~2.4 MB at 300k
+        sites) — re-uploading it EVERY proposal dwarfed the path scan on
+        the remote tunnel."""
+        key = pi.tobytes()
+        cache = getattr(self, "_const_cache", None)
+        if cache is None:
+            cache = self._const_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            hit = (
+                jnp.asarray(pi),
+                jnp.asarray(np.full(self.n_rates, 1.0 / self.n_rates)),
+                jnp.asarray(float(getattr(model, "p_invariant", 0.0))),
+                jnp.asarray(constant),
+            )
+            if len(cache) > 16:
+                cache.pop(next(iter(cache)))
+            cache[key] = hit
+        return hit
 
     def _pad_arrays(self, arrays, child_P=None):
         """Pad traversal arrays + per-edge P tensors to the static buckets
@@ -390,7 +419,6 @@ class CachedPartialsLikelihood:
                 newP = model.transition_matrices(
                     np.asarray([arrays["child_edge"][k0, c0]])
                 )[0]
-                child_P = child_P.at[k0, c0].set(jnp.asarray(newP))
                 # path: k0's node, then ancestors to the root
                 path = [k0]
                 node = int(arrays["internal_index"][k0])
@@ -402,40 +430,38 @@ class CachedPartialsLikelihood:
                 path_ks = np.full(depth, -1, dtype=np.int32)
                 path_ks[: len(path)] = path
                 fn = self._path_fn(c_pad, depth)
-                new_partials, ll = fn(
+                pi_d, rw_d, pinv_d, const_d = self._device_consts(
+                    pi, constant, model
+                )
+                new_partials, new_child_P, ll = fn(
                     partials, committed["ci_dev"], committed["ii_dev"],
-                    int(arrays["root_index"]), child_P,
-                    jnp.asarray(path_ks), jnp.asarray(pi),
-                    jnp.asarray(rate_weights),
-                    jnp.asarray(float(getattr(model, "p_invariant", 0.0))),
-                    jnp.asarray(constant),
+                    int(arrays["root_index"]), child_P, jnp.asarray(newP),
+                    k0, c0, jnp.asarray(path_ks), pi_d, rw_d, pinv_d,
+                    const_d,
                 )
                 self.path_evals += 1
                 self._pending = dict(
                     committed, topo_key=topo_key, model_key=model_key,
-                    partials=new_partials, child_P=child_P,
+                    partials=new_partials, child_P=new_child_P,
                 )
                 return float(ll)
 
         # full recompute at the static padded shape (one executable across
-        # every topology the chain visits; see __init__)
+        # every topology the chain visits; see __init__). All edges' P
+        # tensors come from ONE batched eigendecomposition call.
+        valid_kc = arrays["child_index"] >= 0
+        edges = arrays["child_edge"][valid_kc]
         child_P = np.zeros((n_int, max_children, self.n_rates, 4, 4))
-        for k in range(n_int):
-            for c in range(max_children):
-                if arrays["child_index"][k, c] >= 0:
-                    child_P[k, c] = model.transition_matrices(
-                        np.asarray([arrays["child_edge"][k, c]])
-                    )[0]
+        if len(edges):
+            child_P[valid_kc] = model.transition_matrices(edges)
         ci_pad, ii_pad, c_pad, child_P_pad = self._pad_arrays(arrays, child_P)
         fn = self._full_fn(c_pad)
         ci_dev = jnp.asarray(ci_pad)
         ii_dev = jnp.asarray(ii_pad)
+        pi_d, rw_d, pinv_d, const_d = self._device_consts(pi, constant, model)
         partials, ll = fn(
             ci_dev, ii_dev, n_int, int(arrays["root_index"]),
-            jnp.asarray(child_P_pad),
-            jnp.asarray(pi), jnp.asarray(rate_weights),
-            jnp.asarray(float(getattr(model, "p_invariant", 0.0))),
-            jnp.asarray(constant),
+            jnp.asarray(child_P_pad), pi_d, rw_d, pinv_d, const_d,
         )
         self.full_evals += 1
         k_of_node = np.full(n_nodes, -1, dtype=np.int64)
@@ -454,6 +480,222 @@ class CachedPartialsLikelihood:
 
     def on_reject(self) -> None:
         self._pending = None
+
+    # -- pooled parameter sweep --------------------------------------------
+    def _sweep_fn(self, c_pad, E_pad):
+        """One jitted program running the four continuous-parameter MH
+        moves (single-edge scaler, tree scaler, frequency Dirichlet,
+        exchangeability Dirichlet) back to back with device RNG — the
+        launch-overhead answer to VERDICT r4 #4: the object sampler paid
+        one ~30 ms tunnel round trip PER proposal (86% of wall time was
+        the ll sync); this replaces four of them with one execution and
+        one packed fetch. Kernels/priors mirror mcmc.Chain's updaters."""
+        cache = getattr(self, "_jit_sweep_cache", None)
+        if cache is None:
+            cache = self._jit_sweep_cache = {}
+        key_ = (c_pad, E_pad)
+        fn = cache.get(key_)
+        if fn is not None:
+            return fn
+        from .vmapped import _q_eigen
+
+        n_nodes_max = self._n_nodes_max
+        n_int_max = self._n_int_max
+        dead = n_nodes_max - 1
+        n_rates = self.n_rates
+        n_leaves = self.n_leaves
+        n_sites = self.n_sites
+        tips = self.tips
+
+        @jax.jit
+        def _sweep(ci, ii, n_int, root_index, edge_kc, edge_mask, n_edges,
+                   bl, freq, exch, heat, rates, p_invariant, const_state,
+                   all_n, key):
+            def loglike(bl_, freq_, exch_):
+                lam, V, Vinv = _q_eigen(exch_, freq_)
+                t = bl_[:, None, None] * rates[None, :, None]
+                e = jnp.exp(lam[None, None, :] * t)
+                P_edges = jnp.einsum("ik,erk,kj->erij", V, e, Vinv)
+                child_P = jnp.tile(
+                    jnp.eye(4)[None, None, None],
+                    (n_int_max, c_pad, n_rates, 1, 1),
+                )
+                child_P = child_P.at[edge_kc[:, 0], edge_kc[:, 1]].set(
+                    jnp.where(edge_mask[:, None, None, None], P_edges,
+                              child_P[edge_kc[:, 0], edge_kc[:, 1]])
+                )
+                partials = jnp.ones((n_nodes_max, n_rates, n_sites, N_STATES))
+                partials = partials.at[:n_leaves].set(
+                    jnp.broadcast_to(
+                        tips[:, None, :, :],
+                        (n_leaves, n_rates, n_sites, N_STATES),
+                    )
+                )
+
+                def step(partials, k):
+                    live = k < n_int
+                    acc = jnp.ones((n_rates, n_sites, N_STATES))
+                    for c in range(c_pad):
+                        child = ci[k, c]
+                        valid = child >= 0
+                        cp = partials[jnp.maximum(child, 0)]
+                        lifted = jnp.einsum(
+                            "rij,rsj->rsi", child_P[k, c], cp
+                        )
+                        acc = acc * jnp.where(valid, lifted, 1.0)
+                    node = jnp.where(live, ii[k], dead)
+                    partials = partials.at[node].set(acc)
+                    return partials, 0
+
+                partials, _ = jax.lax.scan(
+                    step, partials, jnp.arange(n_int_max)
+                )
+                pi = freq_ / jnp.sum(freq_)
+                # constant-site vector from the CURRENT pi (freq moves
+                # change it inside the sweep) — arithmetic select, no LUT
+                const = jnp.where(
+                    all_n, 1.0,
+                    sum(
+                        pi[i] * (const_state == i) for i in range(4)
+                    ),
+                )
+                rw = jnp.full((n_rates,), 1.0 / n_rates)
+                return _root_loglike(
+                    partials[root_index], pi, rw, p_invariant, const
+                )
+
+            ll0 = loglike(bl, freq, exch)
+            ks = jax.random.split(key, 12)
+
+            def mh(k, ratio):
+                return jnp.log(jax.random.uniform(k) + 1e-300) < ratio
+
+            # 1. single-edge scaler (exp(10) branch prior, lambda 0.5)
+            e0 = jax.random.randint(ks[0], (), 0, n_edges)
+            f1 = jnp.exp(0.5 * (jax.random.uniform(ks[1]) - 0.5))
+            bl1 = bl.at[e0].set(jnp.maximum(bl[e0] * f1, 1e-8))
+            ll1 = loglike(bl1, freq, exch)
+            prior = -10.0 * (
+                jnp.sum(bl1 * edge_mask) - jnp.sum(bl * edge_mask)
+            )
+            a1 = mh(ks[2], heat * (ll1 - ll0) + prior + jnp.log(f1))
+            bl = jnp.where(a1, bl1, bl)
+            ll0 = jnp.where(a1, ll1, ll0)
+
+            # 2. whole-tree scaler (lambda 0.3)
+            f2 = jnp.exp(0.3 * (jax.random.uniform(ks[3]) - 0.5))
+            bl2 = jnp.where(edge_mask, jnp.maximum(bl * f2, 1e-8), bl)
+            ll2 = loglike(bl2, freq, exch)
+            prior = -10.0 * (
+                jnp.sum(bl2 * edge_mask) - jnp.sum(bl * edge_mask)
+            )
+            a2 = mh(
+                ks[4],
+                heat * (ll2 - ll0) + prior + n_edges * jnp.log(f2),
+            )
+            bl = jnp.where(a2, bl2, bl)
+            ll0 = jnp.where(a2, ll2, ll0)
+
+            # 3. state frequencies (Dirichlet kernel, concentration 500)
+            conc = 500.0
+            alpha = jnp.maximum(freq * conc, 1e-3)
+            nf = jax.random.dirichlet(ks[5], alpha)
+            alpha_new = jnp.maximum(nf * conc, 1e-3)
+            h3 = (
+                jax.scipy.stats.dirichlet.logpdf(freq / freq.sum(), alpha_new)
+                - jax.scipy.stats.dirichlet.logpdf(nf, alpha)
+            )
+            ll3 = loglike(bl, nf, exch)
+            a3 = mh(ks[6], heat * (ll3 - ll0) + h3)
+            freq = jnp.where(a3, nf, freq)
+            ll0 = jnp.where(a3, ll3, ll0)
+
+            # 4. exchangeabilities (Dirichlet on the normalised simplex)
+            exn = exch / jnp.sum(exch)
+            alpha = jnp.maximum(exn * conc, 1e-3)
+            ne = jax.random.dirichlet(ks[7], alpha)
+            alpha_new = jnp.maximum(ne * conc, 1e-3)
+            h4 = (
+                jax.scipy.stats.dirichlet.logpdf(exn, alpha_new)
+                - jax.scipy.stats.dirichlet.logpdf(ne, alpha)
+            )
+            ll4 = loglike(bl, freq, ne)
+            a4 = mh(ks[8], heat * (ll4 - ll0) + h4)
+            exch = jnp.where(a4, ne, exn)
+            ll0 = jnp.where(a4, ll4, ll0)
+
+            accepts = jnp.stack([a1, a2, a3, a4]).astype(jnp.float32)
+            # ONE packed output = one device->host transfer
+            return jnp.concatenate([
+                bl, freq, exch, jnp.stack([ll0]), accepts,
+            ])
+
+        cache[key_] = _sweep
+        return _sweep
+
+    def param_sweep(self, tree: PhyloTree, model, heating_power: float):
+        """Run the pooled 4-move parameter sweep; returns a dict with the
+        new edge lengths / frequencies / exchangeabilities (normalised),
+        final log-likelihood and per-move accept flags. Invalidates the
+        cached partials (the committed state no longer matches)."""
+        from .model import discrete_gamma_rates
+
+        arrays = tree.traversal_arrays()
+        ci_pad, ii_pad, c_pad = self._pad_arrays(arrays)
+        edges = tree.edges()
+        E = len(edges)
+        E_pad = max(4, 1 << (E - 1).bit_length()) if E else 4
+        edge_slot = {}
+        for k in range(arrays["n_internals"]):
+            for c in range(arrays["child_index"].shape[1]):
+                child = arrays["child_index"][k, c]
+                if child >= 0:
+                    edge_slot[int(child)] = (k, c)
+        kc = np.full((E_pad, 2), self._n_int_max - 1, np.int32)
+        kc[:, 1] = 0
+        mask = np.zeros(E_pad, np.float32)
+        bl = np.zeros(E_pad, np.float32)
+        for i, e in enumerate(edges):
+            kc[i] = edge_slot[e.index]
+            mask[i] = 1.0
+            bl[i] = e.edge_length
+        n_rates = self.n_rates
+        shape = float(getattr(model, "gamma_shape", 1.0) or 1.0)
+        rates = (
+            discrete_gamma_rates(shape, n_rates)
+            if n_rates > 1 else np.ones(1)
+        )
+        if not hasattr(self, "_sweep_key"):
+            self._sweep_key = jax.random.PRNGKey(
+                int.from_bytes(os.urandom(4), "little")
+            )
+        if not hasattr(self, "_const_state_dev"):
+            const_state, all_n = _constant_site_pattern(self._codes)
+            self._const_state_dev = jnp.asarray(const_state.astype(np.int32))
+            self._all_n_dev = jnp.asarray(all_n)
+        self._sweep_key, sub = jax.random.split(self._sweep_key)
+        ex = np.asarray(model.exchangeabilities, np.float64)
+        fn = self._sweep_fn(c_pad, E_pad)
+        packed = np.asarray(fn(
+            jnp.asarray(ci_pad), jnp.asarray(ii_pad),
+            int(arrays["n_internals"]), int(arrays["root_index"]),
+            jnp.asarray(kc), jnp.asarray(mask), E,
+            jnp.asarray(bl), jnp.asarray(model.frequencies, jnp.float32),
+            jnp.asarray(ex / ex.sum(), jnp.float32),
+            float(heating_power), jnp.asarray(rates, jnp.float32),
+            jnp.asarray(float(getattr(model, "p_invariant", 0.0))),
+            self._const_state_dev, self._all_n_dev, sub,
+        ))
+        self._committed = None  # partials are stale after the sweep
+        self._pending = None
+        off = E_pad
+        return {
+            "edge_lengths": packed[:E],
+            "frequencies": packed[off : off + 4],
+            "exchangeabilities": packed[off + 4 : off + 10],
+            "log_like": float(packed[off + 10]),
+            "accepts": packed[off + 11 : off + 15] > 0.5,
+        }
 
 
 def _root_loglike(root, frequencies, rate_weights, p_invariant, constant_like):

@@ -63,7 +63,7 @@ class Chain:
                  heating_power: float = 1.0, rng: Optional[random.Random] = None,
                  updaters: Tuple[str, ...] = UPDATER_NAMES,
                  fixed_topology: bool = False,
-                 likelihood_fn=None, backend=None):
+                 likelihood_fn=None, backend=None, pooled_sweep: bool = True):
         self.alignment = alignment
         self.state = state
         self.heating_power = heating_power
@@ -75,6 +75,7 @@ class Chain:
         # branch-length proposals recompute only the changed node -> root
         # path from cached partials (the BeagleLib mechanism).
         self.backend = backend
+        self.pooled_sweep = pooled_sweep
         self._hint: Optional[int] = None
         self.updaters = tuple(
             u for u in updaters
@@ -327,6 +328,32 @@ class Chain:
             )
 
     # --- step -------------------------------------------------------------
+    _SWEEP_NAMES = ("branch_length", "tree_length", "state_freq",
+                    "exchangeability")
+
+    def _device_param_sweep(self) -> None:
+        """Pooled device execution of the four continuous-parameter moves
+        (CachedPartialsLikelihood.param_sweep): one program + one packed
+        fetch instead of four ~30 ms round trips. The updater kernels and
+        priors are identical to the host forms above; the RNG is the
+        backend's device stream."""
+        res = self.backend.param_sweep(
+            self.state.tree, self.state.model, self.heating_power
+        )
+        edges = self.state.tree.edges()
+        for i, node in enumerate(edges):
+            node.edge_length = float(res["edge_lengths"][i])
+        model = self.state.model
+        model.frequencies = np.asarray(res["frequencies"], np.float64)
+        ex_sum = float(np.sum(model.exchangeabilities))
+        model.exchangeabilities = (
+            np.asarray(res["exchangeabilities"], np.float64) * ex_sum
+        )
+        self.state.log_like = res["log_like"]
+        for name, acc in zip(self._SWEEP_NAMES, res["accepts"]):
+            self.try_counts[name] += 1
+            self.accept_counts[name] += int(bool(acc))
+
     def next_step(self) -> None:
         """One MCMC iteration: each updater fires once (Chain::nextStep)."""
         dispatch = {
@@ -341,7 +368,19 @@ class Chain:
             "omega": self._update_omega,
             "kappa": self._update_kappa,
         }
-        for updater in self.updaters:
+        updaters = self.updaters
+        if (
+            self.pooled_sweep
+            and self.backend is not None
+            and hasattr(self.backend, "param_sweep")
+            and hasattr(self.state.model, "exchangeabilities")
+            and all(n in updaters for n in self._SWEEP_NAMES)
+        ):
+            self._device_param_sweep()
+            updaters = tuple(
+                u for u in updaters if u not in self._SWEEP_NAMES
+            )
+        for updater in updaters:
             dispatch[updater]()
 
     def acceptance_rates(self) -> Dict[str, float]:
@@ -364,7 +403,8 @@ class MCMCSampler:
     def __init__(self, alignment: np.ndarray, initial: ChainState,
                  n_chains: int = 1, heat_factor: float = 0.5,
                  seed: int = 0, fixed_topology: bool = False,
-                 likelihood_fn=None, backend: Optional[str] = "auto"):
+                 likelihood_fn=None, backend: Optional[str] = "auto",
+                 pooled_sweep: bool = True):
         use_device = False
         if likelihood_fn is None and backend not in (None, "host"):
             if backend == "device":
@@ -399,7 +439,8 @@ class MCMCSampler:
             self.chains.append(
                 Chain(alignment, initial.copy(), power,
                       random.Random(seed + c), fixed_topology=fixed_topology,
-                      likelihood_fn=likelihood_fn, backend=chain_backend)
+                      likelihood_fn=likelihood_fn, backend=chain_backend,
+                      pooled_sweep=pooled_sweep)
             )
         self.rng = random.Random(seed + 1000)
         self.swap_attempts = 0

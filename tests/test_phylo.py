@@ -502,12 +502,12 @@ class TestSamplerBackend:
         )
         return tree, aln, model
 
-    def _run(self, tree, aln, model, backend):
+    def _run(self, tree, aln, model, backend, pooled_sweep=True):
         from kgl_gene_tpu.phylo.mcmc import MCMCSampler
 
         np.random.seed(42)  # dirichlet proposals draw from the global RNG
         s = MCMCSampler(aln, ChainState(tree.copy(), model), n_chains=2,
-                        seed=9, backend=backend)
+                        seed=9, backend=backend, pooled_sweep=pooled_sweep)
         return s, s.run(24, sample_freq=4, burn_in=0)
 
     def test_device_backend_constructs_and_shares_tips(self):
@@ -538,7 +538,11 @@ class TestSamplerBackend:
         log-likelihoods within fp32-vs-fp64 accumulation tolerance."""
         tree, aln, model = self._setup()
         _s1, host_samples = self._run(tree, aln, model, "host")
-        s2, dev_samples = self._run(tree, aln, model, "device")
+        # pooled_sweep=False: the seeded-parity contract needs the host
+        # RNG driving every proposal (the pooled device sweep has its own
+        # RNG stream by design; test_param_sweep_consistency covers it).
+        s2, dev_samples = self._run(tree, aln, model, "device",
+                                    pooled_sweep=False)
         assert len(host_samples) == len(dev_samples) == 6
         for a, b in zip(host_samples, dev_samples):
             assert a["newick"] == b["newick"]
@@ -555,3 +559,62 @@ class TestSamplerBackend:
         be = s.cold_chain.backend
         assert be.full_evals > 5
         assert len(be._jit_full_cache) <= 2  # arity buckets 4 (and maybe 8)
+
+
+class TestParamSweep:
+    """The pooled device parameter sweep (CachedPartialsLikelihood
+    .param_sweep): one program covering branch-length, tree-length,
+    frequency and exchangeability moves."""
+
+    def _setup(self):
+        import random as _random
+
+        rng = np.random.default_rng(3)
+        taxa = [f"T{i}" for i in range(6)]
+        tree = random_tree(taxa, _random.Random(5))
+        aln = rng.integers(0, 4, size=(6, 120)).astype(np.uint8)
+        model = SubstitutionModel(np.ones(6), np.full(4, 0.25), 1.0, 1, 0.0)
+        return tree, aln, model
+
+    def test_sweep_ll_consistent_with_recompute(self):
+        """The sweep's returned log-likelihood must equal an independent
+        full evaluation on the returned state (same device family)."""
+        from kgl_gene_tpu.phylo.likelihood import CachedPartialsLikelihood
+
+        tree, aln, model = self._setup()
+        be = CachedPartialsLikelihood(aln)
+        res = be.param_sweep(tree, model, heating_power=1.0)
+        # apply returned state
+        for i, e in enumerate(tree.edges()):
+            e.edge_length = float(res["edge_lengths"][i])
+        model.frequencies = np.asarray(res["frequencies"], np.float64)
+        model.exchangeabilities = np.asarray(
+            res["exchangeabilities"], np.float64
+        ) * float(np.sum(model.exchangeabilities))
+        res2 = be.param_sweep(tree, model, heating_power=0.0)
+        # heating 0: every ratio uses heat*(dll)=0 but priors/hastings
+        # remain; instead verify via a fresh full loglike:
+        ll_full = be.loglike(tree, model)
+        assert abs(res["log_like"] - ll_full) < 0.05, (
+            res["log_like"], ll_full,
+        )
+
+    def test_sweep_drives_sampler(self):
+        """MCMCSampler with pooled sweep: all four sweep updaters get
+        try counts, chain advances, log-likelihood stays finite."""
+        from kgl_gene_tpu.phylo.mcmc import MCMCSampler
+
+        tree, aln, model = self._setup()
+        np.random.seed(1)
+        s = MCMCSampler(aln, ChainState(tree.copy(), model), n_chains=1,
+                        seed=2, backend="device")
+        s.run(6, sample_freq=3)
+        chain = s.cold_chain
+        for name in ("branch_length", "tree_length", "state_freq",
+                     "exchangeability"):
+            assert chain.try_counts[name] == 6, chain.try_counts
+        assert np.isfinite(chain.state.log_like)
+        # host tree/model state mirrors the device decisions
+        assert chain.state.tree.tree_length() > 0
+        f = chain.state.model.frequencies
+        assert abs(float(np.sum(f)) - 1.0) < 1e-3
