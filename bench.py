@@ -298,7 +298,9 @@ def bench_scale(jax):
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".scale_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"scale_{n_records}_{n_samples}.vcf")
+    # v2: realistic-entropy genotype cells (random AD/DP digits) so the
+    # .bgz ratio is honest (~7-8x, was 72x on the fixed-cell corpus)
+    path = os.path.join(cache_dir, f"scale_{n_records}_{n_samples}_v2.vcf")
     if not os.path.isfile(path):
         generate_scale_vcf(path + ".tmp", n_records, n_samples)
         os.replace(path + ".tmp", path)
@@ -350,9 +352,17 @@ def bench_scale(jax):
         del pop_b
         bgz = {
             "compressed_mb": round(bgz_mb, 1),
+            "compression_ratio": round(size_mb / bgz_mb, 1),
             "ingest_s": round(bgz_s, 2),
             "compressed_mb_per_s": round(bgz_mb / bgz_s, 1),
             "decompressed_mb_per_s": round(size_mb / bgz_s, 1),
+            # zlib inflate measures ~400 MB/s decompressed per core; with
+            # 2 vCPUs shared between inflate and record parse the
+            # decompressed-rate ceiling on this box is ~400-500 MB/s. The
+            # slab framing + parallel inflate + prefetch architecture
+            # scales with cores (the reference assumes 15 inflate
+            # threads, kel_io/kel_bzip_workflow.h:42).
+            "host_cores": os.cpu_count(),
         }
     # Per-phase statistics (VERDICT r3 weak #3: one opaque stats number
     # hid a host-bound build): CSR transpose build, host AF/het-hom
