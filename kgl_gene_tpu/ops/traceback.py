@@ -117,7 +117,10 @@ def banded_traceback_ops(
     from .pallas_banded import band_layout
 
     _lead, band_w, _win_w, _Wa = band_layout(band_k, M)
-    block_b = 128 if band_w <= 128 else 64
+    # output double-buffering: two (128, block_b, band_w) uint8 blocks must
+    # fit VMEM alongside the DP state — scale the block down as the band
+    # widens (k = 511 at block 64 tripped the 16 MB scoped-vmem limit)
+    block_b = 128 if band_w <= 128 else max(16, 16384 // band_w)
     Bp = ((B + block_b - 1) // block_b) * block_b
     # Only raw uint8 code slices cross the host link; the int32 padded DP
     # buffers, the sentinel fill and the length columns all materialise
@@ -197,6 +200,17 @@ def _cigar_pass(seq_a, la, seq_b, lb, indices, band_k, distances,
     proven exact and returns the indices that overflowed the band (or
     truncated their tapes)."""
     failed: List[int] = []
+    # The choices tensor is (M_pad, chunk, band_w) uint8: cap the chunk so
+    # wide bands stay within a ~3 GB HBM budget (k = 511 at 3 kb would
+    # need 25 GB at the default 8192-pair chunk).
+    M = int(max(la[indices].max(initial=0), lb[indices].max(initial=0), 1))
+    from .pallas_banded import band_layout
+
+    _lead, band_w, _w, _Wa = band_layout(band_k, M)
+    M_pad = ((M + 127) // 128) * 128
+    chunk_pairs = min(
+        chunk_pairs, max(512, int(3e9 // max(M_pad * band_w, 1)) // 512 * 512)
+    )
     for lo in range(0, len(indices), chunk_pairs):
         sel = indices[lo : lo + chunk_pairs]
         ops, counts = banded_traceback_ops(
@@ -250,16 +264,34 @@ def batched_cigar(
     out: List[str] = [""] * B
     if distances is not None:
         distances = np.asarray(distances)
-    pending = list(range(B))
-    k = band_k
-    while pending:
-        pending = _cigar_pass(
-            seq_a, la, seq_b, lb, np.asarray(pending, np.int64), k,
-            distances, chunk_pairs, out,
-        )
-        if not pending or k >= max_band:
-            break
-        k = min(2 * k + 1, max_band)
+        # Known distances: route every pair straight to the smallest band
+        # that provably holds it (no doubling retries — a distance-300
+        # batch would otherwise burn full passes at 127 and 255 first).
+        bound = np.maximum(distances, np.abs(la - lb))
+        bands = [band_k] + [
+            b for b in (127, 255, 511) if band_k < b <= max_band
+        ]
+        pending = np.nonzero(bound > bands[-1])[0].tolist()
+        lo_bound = -1
+        for k in bands:
+            group = np.nonzero((bound > lo_bound) & (bound <= k))[0]
+            lo_bound = k
+            if len(group):
+                pending += _cigar_pass(
+                    seq_a, la, seq_b, lb, group, k, distances,
+                    chunk_pairs, out,
+                )
+    else:
+        pending = list(range(B))
+        k = band_k
+        while pending:
+            pending = _cigar_pass(
+                seq_a, la, seq_b, lb, np.asarray(pending, np.int64), k,
+                distances, chunk_pairs, out,
+            )
+            if not pending or k >= max_band:
+                break
+            k = min(2 * k + 1, max_band)
     if pending:
         from ..analysis.legacy import compare_sequences, edit_items_to_cigar
         from ..sequence.sequence import DNA5SequenceLinear

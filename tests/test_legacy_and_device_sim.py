@@ -275,3 +275,50 @@ class TestBatchedTraceback:
         lines = open(path).read().splitlines()
         assert lines[0].endswith(",Cigar")
         assert lines[1].endswith(",9M") or lines[1].endswith(",5M1X3M")
+
+
+def test_batched_cigar_band_doubling_and_distance_routing():
+    """Pairs beyond the start band retry at doubled bands (edlib's k->2k+1
+    schedule) and, when distances are given, route straight to the
+    smallest holding band; both must match the host DP exactly."""
+    from kgl_gene_tpu.analysis.legacy import (
+        compare_sequences,
+        edit_items_to_cigar,
+    )
+    from kgl_gene_tpu.ops.traceback import batched_cigar
+    from kgl_gene_tpu.sequence.sequence import DNA5SequenceLinear
+
+    rng = np.random.default_rng(8)
+    S, B = 500, 6
+    base = rng.integers(0, 4, S).astype(np.uint8)
+    seq_a = np.repeat(base[None, :], B, axis=0)
+    la = np.full(B, S, np.int32)
+    seq_b = np.zeros((B, S + 80), np.uint8)
+    lb = np.zeros(B, np.int32)
+    for i in range(B):
+        s = list(base)
+        n_sub = [3, 40, 100, 150, 5, 60][i]  # spans bands 31..255
+        for _ in range(n_sub):
+            p = int(rng.integers(0, len(s)))
+            s[p] = int((s[p] + 1 + rng.integers(0, 3)) % 4)
+        for _ in range(4):
+            s.insert(int(rng.integers(0, len(s))), int(rng.integers(0, 4)))
+        seq_b[i, : len(s)] = s
+        lb[i] = len(s)
+    want = []
+    for i in range(B):
+        items = compare_sequences(
+            DNA5SequenceLinear(seq_a[i][: la[i]]),
+            DNA5SequenceLinear(seq_b[i][: lb[i]]),
+        )
+        want.append(edit_items_to_cigar(items, int(la[i])))
+    got = batched_cigar(seq_a, la, seq_b, lb, band_k=31)
+    assert got == want
+    from kgl_gene_tpu.ops.edit_distance import levenshtein_numpy
+
+    d = np.array(
+        [levenshtein_numpy(seq_a[i][: la[i]], seq_b[i][: lb[i]])
+         for i in range(B)], np.int64,
+    )
+    got2 = batched_cigar(seq_a, la, seq_b, lb, band_k=31, distances=d)
+    assert got2 == want
