@@ -123,7 +123,7 @@ def _myers_kernel(text_ref, la_ref, lb_ref, lab_ref, bit_ref, *rest,
         if shared_text:
             c = text_ref[0, 0, r]          # scalar text char (SMEM)
         else:
-            c = text_ref[0, r]             # (Bs, 128) int32 column chars
+            c = text_ref[0, r].astype(jnp.int32)  # (Bs, 128) column chars
         # plane masks: m_i = all-ones iff bit i of the text char is set
         m0 = jnp.where((c & 1) != 0, full, zero)
         m1 = jnp.where((c & 2) != 0, full, zero)
@@ -190,11 +190,33 @@ def _myers_kernel(text_ref, la_ref, lb_ref, lab_ref, bit_ref, *rest,
         out_ref[:] = cap
 
 
+def _pack_planes(a_m: jnp.ndarray, NBtot: int) -> jnp.ndarray:
+    """Bit-plane Peq pack on the MXU: (B, M_pad) masked codes -> packed
+    (3, B, NBtot) uint32 words (32 pattern cells per word). Three {0,1}
+    planes contract against 16-bit halves of the weight vector (exact in
+    f32) — one small matmul replaces five cross-lane reduces (the
+    lane-dim reduce form cost ~3 ms at the 256x3kb pipeline shape)."""
+    B = a_m.shape[0]
+    planes = jnp.stack(
+        [((a_m >> i) & 1).astype(jnp.float32) for i in range(3)]
+    ).reshape(3 * B * NBtot, 32)
+    wmat = np.zeros((32, 2), np.float32)
+    for k in range(16):
+        wmat[k, 0] = float(1 << k)
+        wmat[k + 16, 1] = float(1 << k)
+    halves = jnp.dot(planes, jnp.asarray(wmat),
+                     preferred_element_type=jnp.float32)
+    return (
+        halves[:, 0].astype(jnp.uint32)
+        | (halves[:, 1].astype(jnp.uint32) << 16)
+    ).reshape(3, B, NBtot)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_len", "band_k", "block_b", "interpret", "shared_b"),
 )
-def _myers_call(a, la, b, lb, *, max_len: int, band_k: int,
+def _myers_call(a, la, b, lb, peq_packed=None, *, max_len: int, band_k: int,
                 block_b: int = 1024, interpret: bool = False,
                 shared_b: bool = False):
     """Traceable banded Myers distance. a: (B, W) integer code arrays
@@ -230,26 +252,11 @@ def _myers_call(a, la, b, lb, *, max_len: int, band_k: int,
 
     # pattern rows beyond la: sentinel -1 (bit planes = 7, matching no
     # char); text columns beyond lb: selector 5 — pads never match.
-    a_m = jnp.where(idx < la[:, None], fit(a), -1)
-
-    # Bit-plane Peq pack on the MXU: 32 pattern cells per uint32, bit
-    # t = row 32*blk + t + 1. Three {0,1} planes contract against 16-bit
-    # halves of the weight vector (exact in f32) — one small matmul
-    # replaces five cross-lane reduces (the lane-dim reduce form cost
-    # ~3 ms at the 256x3kb pipeline shape).
-    planes = jnp.stack(
-        [((a_m >> i) & 1).astype(jnp.float32) for i in range(3)]
-    ).reshape(3 * B * NBtot, 32)
-    wmat = np.zeros((32, 2), np.float32)
-    for k in range(16):
-        wmat[k, 0] = float(1 << k)
-        wmat[k + 16, 1] = float(1 << k)
-    halves = jnp.dot(planes, jnp.asarray(wmat),
-                     preferred_element_type=jnp.float32)
-    peq = (
-        halves[:, 0].astype(jnp.uint32)
-        | (halves[:, 1].astype(jnp.uint32) << 16)
-    ).reshape(3, B, NBtot)
+    if peq_packed is None:
+        a_m = jnp.where(idx < la[:, None], fit(a), -1)
+        peq = _pack_planes(a_m, NBtot)
+    else:
+        peq = peq_packed  # (3, B, NBtot) pre-packed (pool gather path)
     peq = peq.transpose(0, 2, 1).reshape(3, NBtot, B // 128, 128)
 
     if shared_b:
@@ -259,8 +266,10 @@ def _myers_call(a, la, b, lb, *, max_len: int, band_k: int,
         b_m = jnp.where(idx1 < jnp.max(lb), fit(b), 5)
         text = b_m.reshape(NBtot, 1, 32)  # per-column SMEM scalars
     else:
-        b_m = jnp.where(idx < lb[:, None], fit(b), 5)
-        # text transposed to (chunk, column, pair-sublane, lane)
+        b_m = jnp.where(idx < lb[:, None], fit(b), 5).astype(jnp.int8)
+        # text transposed to (chunk, column, pair-sublane, lane); int8
+        # quarters the transpose + DMA traffic (~400 MB at the 32k-pair
+        # all-pairs shape); the kernel widens per column
         text = b_m.reshape(B, NBtot, 32).transpose(1, 2, 0).reshape(
             NBtot, 32, B // 128, 128
         )
@@ -459,12 +468,28 @@ def _myers_pairs_impl(seqs, lens, iu, ju, *, band_k: int, max_len: int,
     pad = Bp - P
     iu = jnp.pad(iu.astype(jnp.int32), (0, pad))
     ju = jnp.pad(ju.astype(jnp.int32), (0, pad))
-    a = seqs[iu]
+    # Pack the POOL's Peq planes once (n x NBtot words) and gather packed
+    # words per pair — the per-pair plane build + pack over the expanded
+    # (P, M_pad) batch was most of the all-pairs prep.
+    shift, NB, NBtot, M_pad = _myers_layout(band_k, max_len)
+    n, W = seqs.shape
+    idx = jnp.arange(M_pad, dtype=jnp.int32)[None, :]
+    pool = seqs.astype(jnp.int32)
+    if W < M_pad:
+        pool = jnp.pad(pool, ((0, 0), (0, M_pad - W)))
+    else:
+        pool = pool[:, :M_pad]
+    pool_m = jnp.where(idx < lens[:, None].astype(jnp.int32), pool, -1)
+    pool_peq = _pack_planes(pool_m, NBtot)          # (3, n, NBtot)
+    peq_pairs = pool_peq[:, iu, :]                  # (3, Bp, NBtot)
     b = seqs[ju]
     la = lens[iu].astype(jnp.int32)
     lb = lens[ju].astype(jnp.int32)
+    # `a` is only consulted when peq_packed is absent — a (Bp, 1) dummy
+    # avoids a 400 MB gather of the raw pattern rows.
     return _myers_call(
-        a, la, b, lb, max_len=max_len, band_k=band_k, block_b=block_b,
+        jnp.zeros((Bp, 1), jnp.int32), la, b, lb, peq_pairs,
+        max_len=max_len, band_k=band_k, block_b=block_b,
         interpret=interpret,
     )[:P]
 
