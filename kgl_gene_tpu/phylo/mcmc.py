@@ -206,27 +206,28 @@ class Chain:
         proposal.model.kappa = min(max(self.state.model.kappa * factor, 1e-3), 100.0)
         self._metropolis("kappa", proposal, math.log(factor))
 
-    def _update_larget_simon(self) -> None:
-        """Larget-Simon LOCAL move (kpl_mcmc_treeupdater.h): pick an
-        internal edge, shrink/grow the 3-edge path and possibly swap a
-        subtree across it."""
-        proposal = self.state.copy()
+    def _propose_larget_simon(self, base_state: "ChainState", rng):
+        """Draw one Larget-Simon LOCAL proposal from base_state using rng;
+        returns (proposal_state, log_hastings) or None when no internal
+        edge exists. Shared by the sequential host path and the pooled
+        device topology pair."""
+        proposal = base_state.copy()
         internals = [
             n for n in proposal.tree.internal_nodes()
             if n.parent is not None and len(n.children) >= 2
         ]
         if not internals:
-            return
-        node = self.rng.choice(internals)
+            return None
+        node = rng.choice(internals)
         parent = node.parent
         lam = 0.2
-        factor = math.exp(lam * (self.rng.random() - 0.5))
+        factor = math.exp(lam * (rng.random() - 0.5))
         node.edge_length = max(node.edge_length * factor, 1e-8)
         # Topology change: swap one child of `node` with a sibling of `node`.
         siblings = [c for c in parent.children if c is not node]
-        if siblings and self.rng.random() < 0.5:
-            sibling = self.rng.choice(siblings)
-            child = self.rng.choice(node.children)
+        if siblings and rng.random() < 0.5:
+            sibling = rng.choice(siblings)
+            child = rng.choice(node.children)
             # detach/attach
             node.children.remove(child)
             parent.children.remove(sibling)
@@ -235,7 +236,17 @@ class Chain:
             sibling.parent = node
             child.parent = parent
             proposal.tree.renumber()
-        self._metropolis("larget_simon", proposal, math.log(factor))
+        return proposal, math.log(factor)
+
+    def _update_larget_simon(self) -> None:
+        """Larget-Simon LOCAL move (kpl_mcmc_treeupdater.h): pick an
+        internal edge, shrink/grow the 3-edge path and possibly swap a
+        subtree across it."""
+        prop = self._propose_larget_simon(self.state, self.rng)
+        if prop is None:
+            return
+        proposal, hastings = prop
+        self._metropolis("larget_simon", proposal, hastings)
 
     # --- polytomy reversible jump (kpl_mcmc_polytomy.h) ---------------------
     @staticmethod
@@ -255,35 +266,31 @@ class Chain:
         a new internal edge."""
         return (1 << k) - k - 2
 
-    def _update_polytomy(self) -> None:
-        """Lewis-Holder-Holsinger reversible-jump dimension move
-        (kpl_mcmc_polytomy.h): ADD an internal edge by splitting a polytomy
-        (new branch length drawn from the edge prior) or DELETE an internal
-        edge, collapsing its child into a polytomy. The Hastings ratio
-        accounts for the add/delete choice probabilities, the uniform
-        polytomy/edge/subset choices and the new-edge proposal density; the
-        prior ratio covers the new branch's density and the topology prior
-        C^(n_internal) (polytomy_prior_c, default 1 = flat)."""
+    def _propose_polytomy(self, base_state: "ChainState", rng):
+        """Draw one reversible-jump polytomy proposal from base_state with
+        rng; returns (proposal_state, log_hastings, log_prior) or None
+        when no candidate exists. Shared by the sequential host path and
+        the pooled device topology pair."""
         rate = _EDGE_PRIOR_RATE
         log_c = math.log(getattr(self, "polytomy_prior_c", 1.0))
-        proposal = self.state.copy()
+        proposal = base_state.copy()
         polys, dels = self._polytomy_candidates(proposal.tree)
         if not polys and not dels:
-            return
+            return None
         p_add = 0.5 if (polys and dels) else (1.0 if polys else 0.0)
-        do_add = self.rng.random() < p_add
+        do_add = rng.random() < p_add
 
         if do_add:
-            u = self.rng.choice(polys)
+            u = rng.choice(polys)
             k = len(u.children)
             # uniform subset with 2 <= |S| <= k-1 by rejection (k is small)
             while True:
-                mask = self.rng.randrange(1 << k)
+                mask = rng.randrange(1 << k)
                 size = bin(mask).count("1")
                 if 2 <= size <= k - 1:
                     break
             subset = [c for i, c in enumerate(u.children) if mask & (1 << i)]
-            v_len = self.rng.expovariate(rate)
+            v_len = rng.expovariate(rate)
             v = PhyloNode(index=-1, edge_length=v_len, parent=u)
             for child in subset:
                 u.children.remove(child)
@@ -301,11 +308,9 @@ class Chain:
             log_reverse = math.log(p_del_rev) - math.log(len(dels_new))
             # prior: new branch density x topology C ratio (one more internal)
             log_prior = (math.log(rate) - rate * v_len) + log_c
-            self._metropolis(
-                "polytomy", proposal, log_reverse - log_forward, log_prior
-            )
+            return proposal, log_reverse - log_forward, log_prior
         else:
-            c = self.rng.choice(dels)
+            c = rng.choice(dels)
             u = c.parent
             v_len = c.edge_length
             u.children.remove(c)
@@ -323,9 +328,65 @@ class Chain:
                 - math.log(self._n_subsets(k_rev)) + log_g
             )
             log_prior = -(math.log(rate) - rate * v_len) - log_c
-            self._metropolis(
-                "polytomy", proposal, log_reverse - log_forward, log_prior
-            )
+            return proposal, log_reverse - log_forward, log_prior
+
+    def _update_polytomy(self) -> None:
+        """Lewis-Holder-Holsinger reversible-jump dimension move
+        (kpl_mcmc_polytomy.h): ADD an internal edge by splitting a polytomy
+        (new branch length drawn from the edge prior) or DELETE an internal
+        edge, collapsing its child into a polytomy. The Hastings ratio
+        accounts for the add/delete choice probabilities, the uniform
+        polytomy/edge/subset choices and the new-edge proposal density; the
+        prior ratio covers the new branch's density and the topology prior
+        C^(n_internal) (polytomy_prior_c, default 1 = flat)."""
+        prop = self._propose_polytomy(self.state, self.rng)
+        if prop is None:
+            return
+        proposal, hastings, prior = prop
+        self._metropolis("polytomy", proposal, hastings, prior)
+
+    def _device_topo_pair(self) -> bool:
+        """Pooled speculative topology pair: evaluate the Larget-Simon
+        proposal AND both possible polytomy proposals (drawn from the
+        accept and the reject branch with cloned RNG streams, so the
+        realized branch consumes exactly the draws the sequential path
+        would have) in ONE device program with one fetch — the second
+        half of the launch-overhead fix (the pooled parameter sweep is
+        the first). Returns False to fall back to the sequential path."""
+        prop1 = self._propose_larget_simon(self.state, self.rng)
+        if prop1 is None:
+            return False
+        proposal1, h1 = prop1
+        u1 = self.rng.random()
+        snapshot = self.rng.getstate()
+        rng_a = random.Random()
+        rng_a.setstate(snapshot)
+        rng_b = random.Random()
+        rng_b.setstate(snapshot)
+        pa = self._propose_polytomy(proposal1, rng_a)
+        pb = self._propose_polytomy(self.state, rng_b)
+        u2a = rng_a.random()
+        u2b = rng_b.random()
+        acc1, acc2, ll_fin = self.backend.topo_pair(
+            self.state.model, self.heating_power, self.state.log_like,
+            proposal1.tree, h1,
+            pa[0].tree if pa else None, (pa[1] + pa[2]) if pa else 0.0,
+            pb[0].tree if pb else None, (pb[1] + pb[2]) if pb else 0.0,
+            u1, u2a, u2b,
+        )
+        self.try_counts["larget_simon"] += 1
+        if acc1:
+            self.accept_counts["larget_simon"] += 1
+            self.state = proposal1
+        realized = pa if acc1 else pb
+        if realized is not None:
+            self.try_counts["polytomy"] += 1
+            if acc2:
+                self.accept_counts["polytomy"] += 1
+                self.state = realized[0]
+        self.state.log_like = ll_fin
+        self.rng.setstate((rng_a if acc1 else rng_b).getstate())
+        return True
 
     # --- step -------------------------------------------------------------
     _SWEEP_NAMES = ("branch_length", "tree_length", "state_freq",
@@ -380,6 +441,16 @@ class Chain:
             updaters = tuple(
                 u for u in updaters if u not in self._SWEEP_NAMES
             )
+            if (
+                "larget_simon" in updaters
+                and "polytomy" in updaters
+                and hasattr(self.backend, "topo_pair")
+                and self._device_topo_pair()
+            ):
+                updaters = tuple(
+                    u for u in updaters
+                    if u not in ("larget_simon", "polytomy")
+                )
         for updater in updaters:
             dispatch[updater]()
 

@@ -555,10 +555,17 @@ class TestSamplerBackend:
         padded static shapes must keep the compiled-program count bounded
         (one full program per arity bucket, not per topology)."""
         tree, aln, model = self._setup()
-        s, _ = self._run(tree, aln, model, "device")
+        # pooled_sweep=False exercises the classic per-proposal full/path
+        # programs whose cache-size bound this test pins; the pooled path
+        # has its own caches (checked below).
+        s, _ = self._run(tree, aln, model, "device", pooled_sweep=False)
         be = s.cold_chain.backend
         assert be.full_evals > 5
         assert len(be._jit_full_cache) <= 2  # arity buckets 4 (and maybe 8)
+        s2, _ = self._run(tree, aln, model, "device")
+        be2 = s2.cold_chain.backend
+        assert len(getattr(be2, "_jit_sweep_cache", {})) <= 2
+        assert len(getattr(be2, "_jit_topo2_cache", {})) <= 2
 
 
 class TestParamSweep:
@@ -618,3 +625,22 @@ class TestParamSweep:
         assert chain.state.tree.tree_length() > 0
         f = chain.state.model.frequencies
         assert abs(float(np.sum(f)) - 1.0) < 1e-3
+
+    def test_pooled_topo_pair_consistent(self):
+        """After pooled topology decisions, the host tree/model state must
+        reproduce the device-reported log-likelihood (same family)."""
+        from kgl_gene_tpu.phylo.mcmc import MCMCSampler
+
+        tree, aln, model = self._setup()
+        np.random.seed(7)
+        s = MCMCSampler(aln, ChainState(tree.copy(), model), n_chains=1,
+                        seed=11, backend="device")
+        s.run(8, sample_freq=4)
+        chain = s.cold_chain
+        assert chain.try_counts["larget_simon"] == 8
+        # device-family recompute on the final host state matches the
+        # pooled program's reported value
+        ll_full = chain.backend.loglike(chain.state.tree, chain.state.model)
+        assert abs(ll_full - chain.state.log_like) < 0.05, (
+            ll_full, chain.state.log_like,
+        )
