@@ -171,3 +171,30 @@ class TestMutationAnalysis:
         row = dict(zip(header, gene_lines[1].split(",")))
         assert row["ClinvarAlleles"] == "0"
         assert row["ClinvarDesc"] == ""
+
+
+def test_payload_modes_produce_identical_records(genome, cohort, monkeypatch):
+    """The pooled mutate program's two payload modes — packed sequences on
+    a fast link vs 8-byte tails + host reconstruction on a slow one —
+    must materialise byte-identical records."""
+    import kgl_gene_tpu.analysis.lib_seqmutation as lsm
+    from kgl_gene_tpu.analysis.lib_seqmutation import MutateGenes
+
+    contig = genome.get_contig(CONTIG_1)
+    tx = contig.get_transcription("GENE1", "GENE1.1")
+
+    def run(rate):
+        monkeypatch.setitem(lsm._JIT_HELPERS, "link_rate", rate)
+        mut = MutateGenes(contig, info_store=cohort.info_store)
+        (records, stats) = mut.mutate_transcript(cohort, tx)
+        return records, stats
+
+    rec_fast, st_fast = run(1000.0)   # ship packed sequences
+    rec_slow, st_slow = run(1.0)      # tails + host reconstruction
+    assert len(rec_fast) == len(rec_slow) > 0
+    for a, b in zip(rec_fast, rec_slow):
+        assert a.genome_id == b.genome_id
+        assert a.modified_coding == b.modified_coding
+        assert a.validity == b.validity
+        assert a.distance == b.distance
+    assert st_fast.valid_proteins == st_slow.valid_proteins
