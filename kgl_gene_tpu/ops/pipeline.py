@@ -340,12 +340,19 @@ def _forward_indel(
     )
 
     # 2. Deletion mask via +-1 markers and a cumulative sum (no-overlap
-    #    precondition enforced at capture).
+    #    precondition enforced at capture). Start/end markers land in ONE
+    #    scatter over concatenated slots (each XLA scatter costs ~0.6 ms
+    #    at product shapes; the step ran 8-9 of them).
     del_start = jnp.where(del_m, pos, OOB)
     del_end = jnp.where(del_m, jnp.minimum(pos + del_len, L), OOB)
     marker = jnp.zeros((B, L + 1), jnp.int32)
-    marker = jax.vmap(lambda m, s: m.at[s].add(1, mode="drop"))(marker, del_start)
-    marker = jax.vmap(lambda m, e: m.at[e].add(-1, mode="drop"))(marker, del_end)
+    mk_idx = jnp.concatenate([del_start, del_end], axis=1)
+    mk_val = jnp.concatenate(
+        [jnp.ones((B, K), jnp.int32), jnp.full((B, K), -1, jnp.int32)], axis=1
+    )
+    marker = jax.vmap(lambda m, i, v: m.at[i].add(v, mode="drop"))(
+        marker, mk_idx, mk_val
+    )
     deleted = jnp.cumsum(marker[:, :L], axis=1) > 0
     keep = (~deleted).astype(jnp.int32)
 
@@ -368,13 +375,17 @@ def _forward_indel(
     out = jax.vmap(lambda o, i, v: o.at[i].set(v, mode="drop"))(
         out, out_base_idx, base
     )
-    # inserted bases at cum[pos] + j.
+    # inserted bases at cum[pos] + j — ONE scatter over the flattened
+    # (K, A) slot grid instead of A separate scatters.
     ins_start = jnp.take_along_axis(cum, jnp.where(ins_m, pos, L), axis=1)
-    for j in range(A):
-        idx = jnp.where(ins_m & (j < ins_len), ins_start + j, OOB)
-        out = jax.vmap(lambda o, i, v: o.at[i].set(v, mode="drop"))(
-            out, idx, ins_codes[:, :, j].astype(jnp.uint8)
-        )
+    j_idx = jnp.arange(A, dtype=jnp.int32)[None, None, :]        # (1,1,A)
+    ins_ok = ins_m[:, :, None] & (j_idx < ins_len[:, :, None])
+    flat_idx = jnp.where(
+        ins_ok, ins_start[:, :, None] + j_idx, OOB
+    ).reshape(B, K * A)
+    out = jax.vmap(lambda o, i, v: o.at[i].set(v, mode="drop"))(
+        out, flat_idx, ins_codes.reshape(B, K * A).astype(jnp.uint8)
+    )
 
     # 4. Exon splice in modified coordinates: coding position c belongs to
     #    exon e when cs_e <= c < cs_e + le_e.
