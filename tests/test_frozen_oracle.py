@@ -163,3 +163,33 @@ class TestFrozenMutation:
         for g, gid in enumerate(view.genome_ids):
             assert het[g] == EXPECT_HET_BY_GENOME[gid], gid
             assert hom[g] == EXPECT_HOM_BY_GENOME[gid], gid
+
+
+def test_frozen_distances_through_myers_kernel(oracle):
+    """The banded Myers bit-vector kernel reproduces the hand-computed
+    distance literals for every oracle sample (interpret mode)."""
+    from kgl_gene_tpu.analysis.lib_seqmutation import MutateGenes
+    from kgl_gene_tpu.ops.pallas_myers import myers_banded_levenshtein
+    from kgl_gene_tpu.sequence.alphabet import DNA5
+
+    genome, vcf = oracle
+    contig = genome.get_contig(CONTIG)
+    pop, _h, info = parse_vcf_population(vcf, "pm", "PF_DIPLOID")
+    tx = contig.get_transcription("OG1", "OG1.1")
+    records, _stats = MutateGenes(contig, info_store=info
+                                  ).mutate_transcript(pop, tx)
+    ref = DNA5.from_string(REF_CODING)
+    W = max(len(REF_CODING), max(len(r.modified_coding) for r in records))
+    B = len(records)
+    sa = np.zeros((B, W), np.int32)
+    la = np.zeros(B, np.int32)
+    for i, r in enumerate(records):
+        codes = DNA5.from_string(r.modified_coding)
+        sa[i, : len(codes)] = codes
+        la[i] = len(codes)
+    sb = np.zeros((B, W), np.int32)
+    sb[:, : len(ref)] = ref
+    lb = np.full(B, len(ref), np.int32)
+    got = myers_banded_levenshtein(sa, la, sb, lb, band_k=31, interpret=True)
+    for i, r in enumerate(records):
+        assert got[i] == EXPECT[r.genome_id][2], r.genome_id
