@@ -319,8 +319,10 @@ class MutateGenes:
         """Dispatch the general SNP+indel step for one transcript."""
         K = batch.pos.shape[1]
         A = batch.ins_codes.shape[2]
-        band_k = 63 if batch.edit_bound <= 63 else (
-            127 if batch.edit_bound <= 127 else 0
+        band_k = (
+            31 if batch.edit_bound <= 31
+            else 63 if batch.edit_bound <= 63
+            else (127 if batch.edit_bound <= 127 else 0)
         )
         step = self._indel_step(transcript, K, A, band_k)
         out = step(batch.pos, batch.kind, batch.del_len, batch.ins_codes,
@@ -753,8 +755,10 @@ class MutateGenes:
                 else:
                     K, A = b.pos.shape[1], b.ins_codes.shape[2]
                     pad_c = ((max(K * A, 3) + 2) // 3) * 3
-                    band_k = 63 if b.edit_bound <= 63 else (
-                        127 if b.edit_bound <= 127 else 0
+                    band_k = (
+                        31 if b.edit_bound <= 31
+                        else 63 if b.edit_bound <= 63
+                        else (127 if b.edit_bound <= 127 else 0)
                     )
                     # Payload mode: on a slow link the ~1 kB/record packed
                     # sequence dominates the fetch, so ship 8-byte tails

@@ -115,7 +115,11 @@ def _forward(
     # the lengths are equal. When K_snps fits a band the banded kernel is
     # provably exact and does ~band/(2*S) of the full wavefront's work —
     # the static form of edlib's band doubling (edlib.cpp:161-185).
-    band_k = 63 if K_snps <= 63 else (127 if K_snps <= 127 else 0)
+    band_k = (
+        31 if K_snps <= 31
+        else 63 if K_snps <= 63
+        else (127 if K_snps <= 127 else 0)
+    )
     if use_pallas and band_k and S >= 512:
         # Banded Myers bit-vector DP (ops/pallas_myers.py): 32 DP cells
         # per int32 lane — the r5 kernel that replaced the
