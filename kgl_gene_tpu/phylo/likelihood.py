@@ -756,6 +756,290 @@ class CachedPartialsLikelihood:
         self._pending = None
         return bool(out[0] > 0.5), bool(out[1] > 0.5), float(out[2])
 
+    # -- fused full iteration ------------------------------------------------
+    def _topo_pack(self, tree, c_pad, E_pad):
+        """Padded (ci, ii, n_int, root, edge_kc, edge_mask, edges) for one
+        topology, with edge transition slots for DEVICE-side P assembly."""
+        arrays = tree.traversal_arrays()
+        n_int, max_c = arrays["child_index"].shape
+        ci = np.full((self._n_int_max, c_pad), -1, np.int32)
+        ci[:n_int, :max_c] = arrays["child_index"]
+        ii = np.zeros(self._n_int_max, np.int32)
+        ii[:n_int] = arrays["internal_index"]
+        edge_slot = {}
+        for k in range(n_int):
+            for c in range(max_c):
+                child = arrays["child_index"][k, c]
+                if child >= 0:
+                    edge_slot[int(child)] = (k, c)
+        edges = tree.edges()
+        kc = np.full((E_pad, 2), self._n_int_max - 1, np.int32)
+        kc[:, 1] = 0
+        mask = np.zeros(E_pad, np.float32)
+        for i, e in enumerate(edges):
+            kc[i] = edge_slot[e.index]
+            mask[i] = 1.0
+        return (jnp.asarray(ci), jnp.asarray(ii), n_int,
+                int(arrays["root_index"]), jnp.asarray(kc),
+                jnp.asarray(mask), edges)
+
+    def _full_iter_fn(self, c_pad, E_pad):
+        """The whole product MCMC iteration as ONE device program: the
+        four continuous-parameter moves (as in _sweep_fn) followed by the
+        Larget-Simon proposal and BOTH speculative polytomy branches —
+        seven Metropolis decisions, six likelihood-bearing, one program
+        execution, one packed fetch. Topology proposals' branch lengths
+        derive from the POST-sweep vector through slot-permutation maps
+        (host node-identity bookkeeping); their transition matrices are
+        assembled on device, so nothing round-trips mid-iteration."""
+        cache = getattr(self, "_jit_fiter_cache", None)
+        if cache is None:
+            cache = self._jit_fiter_cache = {}
+        key_ = (c_pad, E_pad)
+        fn = cache.get(key_)
+        if fn is not None:
+            return fn
+        from .vmapped import _q_eigen
+
+        n_nodes_max = self._n_nodes_max
+        n_int_max = self._n_int_max
+        dead = n_nodes_max - 1
+        n_rates = self.n_rates
+        n_leaves = self.n_leaves
+        n_sites = self.n_sites
+        tips = self.tips
+
+        @jax.jit
+        def _fiter(ci0, ii0, n0, r0, kc0, m0, nE0, bl, freq, exch, heat,
+                   rates, pinv, const_state, all_n, key,
+                   ci1, ii1, n1, r1, kc1, m1, perm1, ls_slot, hp1, u1,
+                   ciA, iiA, nA, rA, kcA, mA, permA, newA, vlenA, hpA,
+                   okA, u2a,
+                   ciB, iiB, nB, rB, kcB, mB, permB, newB, vlenB, hpB,
+                   okB, u2b):
+            def loglike(ci, ii, n_int, root, edge_kc, edge_mask, bl_,
+                        freq_, exch_):
+                lam, V, Vinv = _q_eigen(exch_, freq_)
+                t = bl_[:, None, None] * rates[None, :, None]
+                e = jnp.exp(lam[None, None, :] * t)
+                P_edges = jnp.einsum("ik,erk,kj->erij", V, e, Vinv)
+                child_P = jnp.tile(
+                    jnp.eye(4)[None, None, None],
+                    (n_int_max, c_pad, n_rates, 1, 1),
+                )
+                child_P = child_P.at[edge_kc[:, 0], edge_kc[:, 1]].set(
+                    jnp.where(edge_mask[:, None, None, None], P_edges,
+                              child_P[edge_kc[:, 0], edge_kc[:, 1]])
+                )
+                partials = jnp.ones(
+                    (n_nodes_max, n_rates, n_sites, N_STATES)
+                )
+                partials = partials.at[:n_leaves].set(
+                    jnp.broadcast_to(
+                        tips[:, None, :, :],
+                        (n_leaves, n_rates, n_sites, N_STATES),
+                    )
+                )
+
+                def step(partials, k):
+                    live = k < n_int
+                    acc = jnp.ones((n_rates, n_sites, N_STATES))
+                    for c in range(c_pad):
+                        child = ci[k, c]
+                        valid = child >= 0
+                        cp = partials[jnp.maximum(child, 0)]
+                        lifted = jnp.einsum(
+                            "rij,rsj->rsi", child_P[k, c], cp
+                        )
+                        acc = acc * jnp.where(valid, lifted, 1.0)
+                    node = jnp.where(live, ii[k], dead)
+                    return partials.at[node].set(acc), 0
+
+                partials, _ = jax.lax.scan(
+                    step, partials, jnp.arange(n_int_max)
+                )
+                pi = freq_ / jnp.sum(freq_)
+                const = jnp.where(
+                    all_n, 1.0,
+                    sum(pi[i] * (const_state == i) for i in range(4)),
+                )
+                rw = jnp.full((n_rates,), 1.0 / n_rates)
+                return _root_loglike(
+                    partials[root], pi, rw, pinv, const
+                )
+
+            def ll_base(bl_, freq_, exch_):
+                return loglike(ci0, ii0, n0, r0, kc0, m0, bl_, freq_, exch_)
+
+            ll0 = ll_base(bl, freq, exch)
+            ks = jax.random.split(key, 12)
+
+            def mh(k, ratio):
+                return jnp.log(jax.random.uniform(k) + 1e-300) < ratio
+
+            # --- sweep: the four continuous-parameter moves -------------
+            e0 = jax.random.randint(ks[0], (), 0, nE0)
+            f1s = jnp.exp(0.5 * (jax.random.uniform(ks[1]) - 0.5))
+            bl1s = bl.at[e0].set(jnp.maximum(bl[e0] * f1s, 1e-8))
+            ll1s = ll_base(bl1s, freq, exch)
+            prior = -10.0 * (jnp.sum(bl1s * m0) - jnp.sum(bl * m0))
+            a1 = mh(ks[2], heat * (ll1s - ll0) + prior + jnp.log(f1s))
+            bl = jnp.where(a1, bl1s, bl)
+            ll0 = jnp.where(a1, ll1s, ll0)
+
+            f2s = jnp.exp(0.3 * (jax.random.uniform(ks[3]) - 0.5))
+            bl2s = jnp.where(m0 > 0, jnp.maximum(bl * f2s, 1e-8), bl)
+            ll2s = ll_base(bl2s, freq, exch)
+            prior = -10.0 * (jnp.sum(bl2s * m0) - jnp.sum(bl * m0))
+            a2 = mh(ks[4], heat * (ll2s - ll0) + prior + nE0 * jnp.log(f2s))
+            bl = jnp.where(a2, bl2s, bl)
+            ll0 = jnp.where(a2, ll2s, ll0)
+
+            conc = 500.0
+            alpha = jnp.maximum(freq * conc, 1e-3)
+            nf = jax.random.dirichlet(ks[5], alpha)
+            alpha_new = jnp.maximum(nf * conc, 1e-3)
+            h3 = (
+                jax.scipy.stats.dirichlet.logpdf(freq / freq.sum(), alpha_new)
+                - jax.scipy.stats.dirichlet.logpdf(nf, alpha)
+            )
+            ll3s = ll_base(bl, nf, exch)
+            a3 = mh(ks[6], heat * (ll3s - ll0) + h3)
+            freq = jnp.where(a3, nf, freq)
+            ll0 = jnp.where(a3, ll3s, ll0)
+
+            exn = exch / jnp.sum(exch)
+            alpha = jnp.maximum(exn * conc, 1e-3)
+            ne = jax.random.dirichlet(ks[7], alpha)
+            alpha_new = jnp.maximum(ne * conc, 1e-3)
+            h4 = (
+                jax.scipy.stats.dirichlet.logpdf(exn, alpha_new)
+                - jax.scipy.stats.dirichlet.logpdf(ne, alpha)
+            )
+            ll4s = ll_base(bl, freq, ne)
+            a4 = mh(ks[8], heat * (ll4s - ll0) + h4)
+            exch = jnp.where(a4, ne, exn)
+            ll0 = jnp.where(a4, ll4s, ll0)
+
+            # --- Larget-Simon on the post-sweep parameters --------------
+            slot_iota = jnp.arange(E_pad, dtype=jnp.int32)
+            bl1 = jnp.where(m1 > 0, bl[perm1], 0.0)
+            # hp1 = log(factor); recover the factor for the length update
+            fct = jnp.exp(hp1)
+            bl1 = jnp.where(
+                slot_iota == ls_slot,
+                jnp.maximum(bl1 * fct, 1e-8), bl1,
+            )
+            ll1 = loglike(ci1, ii1, n1, r1, kc1, m1, bl1, freq, exch)
+            acc5 = mh(ks[9], heat * (ll1 - ll0) + hp1)
+            llb = jnp.where(acc5, ll1, ll0)
+
+            # --- speculative polytomy branches --------------------------
+            blA = jnp.where(mA > 0, bl1[permA], 0.0)
+            blA = jnp.where(slot_iota == newA, vlenA, blA)
+            blB = jnp.where(mB > 0, bl[permB], 0.0)
+            blB = jnp.where(slot_iota == newB, vlenB, blB)
+            llA = loglike(ciA, iiA, nA, rA, kcA, mA, blA, freq, exch)
+            llB = loglike(ciB, iiB, nB, rB, kcB, mB, blB, freq, exch)
+            ll2 = jnp.where(acc5, llA, llB)
+            hp2 = jnp.where(acc5, hpA, hpB)
+            ok2 = jnp.where(acc5, okA, okB)
+            u2 = jnp.where(acc5, u2a, u2b)
+            acc6 = ok2 & (jnp.log(u2 + 1e-300) < heat * (ll2 - llb) + hp2)
+            ll_fin = jnp.where(acc6, ll2, llb)
+
+            flags = jnp.stack([a1, a2, a3, a4, acc5, acc6]).astype(
+                jnp.float32
+            )
+            return jnp.concatenate([
+                bl, freq, exch, jnp.stack([ll_fin]), flags, bl1, blA, blB,
+            ])
+
+        cache[key_] = _fiter
+        return _fiter
+
+    def full_iteration(self, tree, model, heating_power,
+                       t1, perm1, ls_slot, hp1, u1,
+                       t2a, permA, newA, vlenA, hpA, u2a,
+                       t2b, permB, newB, vlenB, hpB, u2b):
+        """Run one FULL product-sampler iteration on device (see
+        _full_iter_fn): four continuous-parameter moves + Larget-Simon +
+        speculative polytomy pair, one execution, one fetch. t2a/t2b may
+        be None (that branch's polytomy move unavailable). perm arrays
+        map each proposal tree's edge slots to its parent branch's slots;
+        new*/vlen* place a freshly drawn edge (ADD moves). Returns a dict
+        of post-iteration state; the caller replays the decisions onto
+        its host tree/model objects."""
+        from .model import discrete_gamma_rates
+
+        trees = [tree, t1, t2a if t2a is not None else t1,
+                 t2b if t2b is not None else tree]
+        c_pad = 4
+        E_max = 4
+        for t in trees:
+            a = t.traversal_arrays()
+            c_pad = max(c_pad, a["child_index"].shape[1])
+            E_max = max(E_max, len(t.edges()))
+        c_pad = max(4, 1 << (c_pad - 1).bit_length())
+        E_pad = max(4, 1 << (E_max - 1).bit_length())
+
+        packs = [self._topo_pack(t, c_pad, E_pad) for t in trees]
+        (ci0, ii0, n0, r0, kc0, m0, edges0) = packs[0]
+        bl = np.zeros(E_pad, np.float32)
+        for i, e in enumerate(edges0):
+            bl[i] = e.edge_length
+
+        def pad_perm(perm):
+            out = np.zeros(E_pad, np.int32)
+            out[: len(perm)] = perm
+            return jnp.asarray(out)
+
+        n_rates = self.n_rates
+        shape = float(getattr(model, "gamma_shape", 1.0) or 1.0)
+        rates = (
+            discrete_gamma_rates(shape, n_rates)
+            if n_rates > 1 else np.ones(1)
+        )
+        if not hasattr(self, "_sweep_key"):
+            self._sweep_key = jax.random.PRNGKey(
+                int.from_bytes(os.urandom(4), "little")
+            )
+        if not hasattr(self, "_const_state_dev"):
+            const_state, all_n = _constant_site_pattern(self._codes)
+            self._const_state_dev = jnp.asarray(const_state.astype(np.int32))
+            self._all_n_dev = jnp.asarray(all_n)
+        self._sweep_key, sub = jax.random.split(self._sweep_key)
+        ex = np.asarray(model.exchangeabilities, np.float64)
+        fn = self._full_iter_fn(c_pad, E_pad)
+        packed = np.asarray(fn(
+            ci0, ii0, n0, r0, kc0, m0, len(edges0),
+            jnp.asarray(bl), jnp.asarray(model.frequencies, jnp.float32),
+            jnp.asarray(ex / ex.sum(), jnp.float32),
+            float(heating_power), jnp.asarray(rates, jnp.float32),
+            jnp.asarray(float(getattr(model, "p_invariant", 0.0))),
+            self._const_state_dev, self._all_n_dev, sub,
+            *packs[1][:6], pad_perm(perm1), int(ls_slot), float(hp1),
+            float(u1),
+            *packs[2][:6], pad_perm(permA), int(newA), float(vlenA),
+            float(hpA), t2a is not None, float(u2a),
+            *packs[3][:6], pad_perm(permB), int(newB), float(vlenB),
+            float(hpB), t2b is not None, float(u2b),
+        ))
+        self._committed = None
+        self._pending = None
+        off = E_pad
+        flags = packed[off + 11 : off + 17] > 0.5
+        return {
+            "bl_sweep": packed[:E_pad],
+            "frequencies": packed[off : off + 4],
+            "exchangeabilities": packed[off + 4 : off + 10],
+            "log_like": float(packed[off + 10]),
+            "accepts": flags,
+            "bl_ls": packed[off + 17 : off + 17 + E_pad],
+            "bl_a": packed[off + 17 + E_pad : off + 17 + 2 * E_pad],
+            "bl_b": packed[off + 17 + 2 * E_pad : off + 17 + 3 * E_pad],
+        }
+
     def param_sweep(self, tree: PhyloTree, model, heating_power: float):
         """Run the pooled 4-move parameter sweep; returns a dict with the
         new edge lengths / frequencies / exchangeabilities (normalised),

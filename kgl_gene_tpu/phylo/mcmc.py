@@ -206,12 +206,24 @@ class Chain:
         proposal.model.kappa = min(max(self.state.model.kappa * factor, 1e-3), 100.0)
         self._metropolis("kappa", proposal, math.log(factor))
 
-    def _propose_larget_simon(self, base_state: "ChainState", rng):
+    @staticmethod
+    def _annotate_orig(tree) -> None:
+        """Tag every node with its pre-edit index: state.copy() preserves
+        indices (same topology, pinned leaf order), so _orig links a
+        proposal tree's nodes back to base-tree edge slots even after
+        structural edits + renumber() (the fused-iteration slot maps)."""
+        for node in tree.nodes_postorder():
+            node._orig = node.index
+
+    def _propose_larget_simon(self, base_state: "ChainState", rng,
+                              annotate: bool = False):
         """Draw one Larget-Simon LOCAL proposal from base_state using rng;
-        returns (proposal_state, log_hastings) or None when no internal
-        edge exists. Shared by the sequential host path and the pooled
-        device topology pair."""
+        returns (proposal_state, log_hastings, chosen_node) or None when
+        no internal edge exists. Shared by the sequential host path and
+        the pooled device topology paths."""
         proposal = base_state.copy()
+        if annotate:
+            self._annotate_orig(proposal.tree)
         internals = [
             n for n in proposal.tree.internal_nodes()
             if n.parent is not None and len(n.children) >= 2
@@ -236,7 +248,7 @@ class Chain:
             sibling.parent = node
             child.parent = parent
             proposal.tree.renumber()
-        return proposal, math.log(factor)
+        return proposal, math.log(factor), node
 
     def _update_larget_simon(self) -> None:
         """Larget-Simon LOCAL move (kpl_mcmc_treeupdater.h): pick an
@@ -245,7 +257,7 @@ class Chain:
         prop = self._propose_larget_simon(self.state, self.rng)
         if prop is None:
             return
-        proposal, hastings = prop
+        proposal, hastings, _node = prop
         self._metropolis("larget_simon", proposal, hastings)
 
     # --- polytomy reversible jump (kpl_mcmc_polytomy.h) ---------------------
@@ -266,14 +278,23 @@ class Chain:
         a new internal edge."""
         return (1 << k) - k - 2
 
-    def _propose_polytomy(self, base_state: "ChainState", rng):
+    def _propose_polytomy(self, base_state: "ChainState", rng,
+                          annotate: bool = False):
         """Draw one reversible-jump polytomy proposal from base_state with
-        rng; returns (proposal_state, log_hastings, log_prior) or None
-        when no candidate exists. Shared by the sequential host path and
-        the pooled device topology pair."""
+        rng; returns (proposal_state, log_hastings, log_prior, new_node)
+        or None when no candidate exists (new_node is the added internal
+        for ADD moves, None for DELETE). NOTE: the drawn/deleted branch
+        length's proposal-density term cancels exactly against its prior
+        density in log_hastings + log_prior, so the SUM is
+        branch-length-independent — the fused device iteration relies on
+        this (the deleted edge's post-sweep length never reaches the
+        host). Shared by the sequential host path and the pooled device
+        topology paths."""
         rate = _EDGE_PRIOR_RATE
         log_c = math.log(getattr(self, "polytomy_prior_c", 1.0))
         proposal = base_state.copy()
+        if annotate:
+            self._annotate_orig(proposal.tree)
         polys, dels = self._polytomy_candidates(proposal.tree)
         if not polys and not dels:
             return None
@@ -308,7 +329,7 @@ class Chain:
             log_reverse = math.log(p_del_rev) - math.log(len(dels_new))
             # prior: new branch density x topology C ratio (one more internal)
             log_prior = (math.log(rate) - rate * v_len) + log_c
-            return proposal, log_reverse - log_forward, log_prior
+            return proposal, log_reverse - log_forward, log_prior, v
         else:
             c = rng.choice(dels)
             u = c.parent
@@ -328,7 +349,7 @@ class Chain:
                 - math.log(self._n_subsets(k_rev)) + log_g
             )
             log_prior = -(math.log(rate) - rate * v_len) - log_c
-            return proposal, log_reverse - log_forward, log_prior
+            return proposal, log_reverse - log_forward, log_prior, None
 
     def _update_polytomy(self) -> None:
         """Lewis-Holder-Holsinger reversible-jump dimension move
@@ -342,8 +363,114 @@ class Chain:
         prop = self._propose_polytomy(self.state, self.rng)
         if prop is None:
             return
-        proposal, hastings, prior = prop
+        proposal, hastings, prior, _new = prop
         self._metropolis("polytomy", proposal, hastings, prior)
+
+    @staticmethod
+    def _edge_slot_map(tree):
+        return {e.index: i for i, e in enumerate(tree.edges())}
+
+    @staticmethod
+    def _perm_of(proposal_tree, parent_slots):
+        """(perm, new_slot): proposal edge slot -> parent-branch edge slot
+        via the _orig tags; new_slot = slot of a freshly added edge (-1
+        if none)."""
+        edges = proposal_tree.edges()
+        perm = np.zeros(len(edges), np.int32)
+        new_slot = -1
+        for t, e in enumerate(edges):
+            orig = getattr(e, "_orig", None)
+            if orig is None:
+                new_slot = t
+            else:
+                perm[t] = parent_slots[orig]
+        return perm, new_slot
+
+    def _device_full_iteration(self) -> bool:
+        """The whole iteration in ONE device program (backend
+        full_iteration): four parameter moves + Larget-Simon + speculative
+        polytomy pair, one fetch. Host draws every topology choice first
+        (they are branch-length independent), maps proposal edge slots to
+        the base slots via _orig tags, and replays the returned decisions
+        onto its tree/model objects. Returns False to fall back."""
+        prop1 = self._propose_larget_simon(self.state, self.rng,
+                                           annotate=True)
+        if prop1 is None:
+            return False
+        proposal1, h1, node1 = prop1
+        u1 = self.rng.random()
+        snapshot = self.rng.getstate()
+        rng_a = random.Random()
+        rng_a.setstate(snapshot)
+        rng_b = random.Random()
+        rng_b.setstate(snapshot)
+        pa = self._propose_polytomy(proposal1, rng_a, annotate=True)
+        pb = self._propose_polytomy(self.state, rng_b, annotate=True)
+        u2a = rng_a.random()
+        u2b = rng_b.random()
+
+        base_slots = self._edge_slot_map(self.state.tree)
+        edges1 = proposal1.tree.edges()
+        perm1 = np.zeros(len(edges1), np.int32)
+        ls_slot = 0
+        for t, e in enumerate(edges1):
+            perm1[t] = base_slots[e._orig]
+            if e is node1:
+                ls_slot = t
+        slots1 = self._edge_slot_map(proposal1.tree)
+        if pa is not None:
+            permA, newA = self._perm_of(pa[0].tree, slots1)
+            vlenA = pa[0].tree.edges()[newA].edge_length if newA >= 0 else 0.0
+            hpA = pa[1] + pa[2]
+        else:
+            permA, newA, vlenA, hpA = np.zeros(1, np.int32), -1, 0.0, 0.0
+        if pb is not None:
+            permB, newB = self._perm_of(pb[0].tree, base_slots)
+            vlenB = pb[0].tree.edges()[newB].edge_length if newB >= 0 else 0.0
+            hpB = pb[1] + pb[2]
+        else:
+            permB, newB, vlenB, hpB = np.zeros(1, np.int32), -1, 0.0, 0.0
+
+        res = self.backend.full_iteration(
+            self.state.tree, self.state.model, self.heating_power,
+            proposal1.tree, perm1, ls_slot, h1, u1,
+            pa[0].tree if pa else None, permA, newA, vlenA, hpA, u2a,
+            pb[0].tree if pb else None, permB, newB, vlenB, hpB, u2b,
+        )
+        a1, a2, a3, a4, acc5, acc6 = (bool(x) for x in res["accepts"])
+        for name, acc in zip(self._SWEEP_NAMES, (a1, a2, a3, a4)):
+            self.try_counts[name] += 1
+            self.accept_counts[name] += int(acc)
+        self.try_counts["larget_simon"] += 1
+        self.accept_counts["larget_simon"] += int(acc5)
+        realized_poly = pa if acc5 else pb
+        if realized_poly is not None:
+            self.try_counts["polytomy"] += 1
+            self.accept_counts["polytomy"] += int(acc6)
+
+        # replay decisions onto host objects
+        model = self.state.model
+        model.frequencies = np.asarray(res["frequencies"], np.float64)
+        ex_sum = float(np.sum(model.exchangeabilities))
+        model.exchangeabilities = (
+            np.asarray(res["exchangeabilities"], np.float64) * ex_sum
+        )
+        if acc6 and realized_poly is not None:
+            final_state, bl_key = realized_poly[0], (
+                "bl_a" if acc5 else "bl_b"
+            )
+        elif acc5:
+            final_state, bl_key = proposal1, "bl_ls"
+        else:
+            final_state, bl_key = self.state, "bl_sweep"
+        bl = res[bl_key]
+        for i, e in enumerate(final_state.tree.edges()):
+            e.edge_length = float(bl[i])
+        final_state.model = model
+        final_state.log_like = res["log_like"]
+        self.state = final_state
+        self.rng.setstate((rng_a if acc5 else rng_b).getstate())
+        return True
 
     def _device_topo_pair(self) -> bool:
         """Pooled speculative topology pair: evaluate the Larget-Simon
@@ -356,7 +483,7 @@ class Chain:
         prop1 = self._propose_larget_simon(self.state, self.rng)
         if prop1 is None:
             return False
-        proposal1, h1 = prop1
+        proposal1, h1, _node1 = prop1
         u1 = self.rng.random()
         snapshot = self.rng.getstate()
         rng_a = random.Random()
@@ -437,20 +564,33 @@ class Chain:
             and hasattr(self.state.model, "exchangeabilities")
             and all(n in updaters for n in self._SWEEP_NAMES)
         ):
-            self._device_param_sweep()
-            updaters = tuple(
-                u for u in updaters if u not in self._SWEEP_NAMES
+            topo_pooled = (
+                "larget_simon" in updaters and "polytomy" in updaters
             )
-            if (
-                "larget_simon" in updaters
-                and "polytomy" in updaters
-                and hasattr(self.backend, "topo_pair")
-                and self._device_topo_pair()
-            ):
+            done = False
+            if topo_pooled and hasattr(self.backend, "full_iteration"):
+                done = self._device_full_iteration()
+            if done:
                 updaters = tuple(
                     u for u in updaters
-                    if u not in ("larget_simon", "polytomy")
+                    if u not in self._SWEEP_NAMES + (
+                        "larget_simon", "polytomy",
+                    )
                 )
+            else:
+                self._device_param_sweep()
+                updaters = tuple(
+                    u for u in updaters if u not in self._SWEEP_NAMES
+                )
+                if (
+                    topo_pooled
+                    and hasattr(self.backend, "topo_pair")
+                    and self._device_topo_pair()
+                ):
+                    updaters = tuple(
+                        u for u in updaters
+                        if u not in ("larget_simon", "polytomy")
+                    )
         for updater in updaters:
             dispatch[updater]()
 
