@@ -146,7 +146,23 @@ class PhyloTree:
         return write(self.root) + ";"
 
     def copy(self) -> "PhyloTree":
-        return parse_newick(self.newick(precision=17), leaf_order=self.leaf_names)
+        """Structural clone (indices, names, lengths; parents rebuilt).
+        Replaces the Newick serialize/re-parse round trip — tree copies
+        run once per MCMC proposal, and at 4 copies/iteration the parse
+        was a measurable share of the fused sampler's host time. Custom
+        node attributes (e.g. the fused iteration's _orig tags) are
+        deliberately NOT copied."""
+
+        def clone(n: PhyloNode) -> PhyloNode:
+            m = PhyloNode(index=n.index, name=n.name,
+                          edge_length=n.edge_length)
+            for c in n.children:
+                cc = clone(c)
+                cc.parent = m
+                m.children.append(cc)
+            return m
+
+        return PhyloTree(clone(self.root), list(self.leaf_names))
 
 
 def parse_newick(text: str, leaf_order: Optional[List[str]] = None) -> PhyloTree:
