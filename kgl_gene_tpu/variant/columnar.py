@@ -305,9 +305,14 @@ class VariantMajorCSR:
         return het, hom
 
     def alt_allele_counts(self) -> np.ndarray:
-        return np.bincount(
-            self.variant_of, weights=self.values, minlength=self.variant_count
-        ).astype(np.int64)
+        # zygosity values are {1, 2}: AC = one count for every incidence
+        # plus one extra for homozygotes. Two integer bincounts beat the
+        # weights= form, which promotes 10^8 uint8 values to float64.
+        ac = np.bincount(self.variant_of, minlength=self.variant_count)
+        ac += np.bincount(
+            self.variant_of[self.values == 2], minlength=self.variant_count
+        )
+        return ac.astype(np.int64, copy=False)
 
     def allele_number(self) -> int:
         return 2 * self.genome_count
