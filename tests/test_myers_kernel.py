@@ -197,3 +197,29 @@ def test_shared_text_matches_per_pair():
     ))
     want = np.array([levenshtein_numpy(sa[i, : la[i]], ref) for i in range(B)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_wide_band_255_sliding_exact():
+    """k = 255 (NB = 17 window blocks) with a sliding window: exactness
+    holds for distances up to the band across indel-heavy pairs."""
+    rng = np.random.default_rng(21)
+    M = 700  # 22 blocks > NB = 17: the window slides
+    B = 4
+    W = M + 120
+    sa = np.zeros((B, W), np.int32)
+    sb = np.zeros((B, W), np.int32)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    for i in range(B):
+        base = rng.integers(0, 5, M).astype(np.int32)
+        mut = _indel_mutate(rng, base, 120 + 20 * i)[:W]
+        sa[i, :M] = base
+        la[i] = M
+        lb[i] = len(mut)
+        sb[i, : len(mut)] = mut
+    got = myers_banded_levenshtein(sa, la, sb, lb, band_k=255, interpret=True)
+    want = np.array([levenshtein_numpy(sa[i, : la[i]], sb[i, : lb[i]])
+                     for i in range(B)])
+    exact = (want <= 255) & (np.abs(la - lb) <= 255)
+    np.testing.assert_array_equal(got[exact], want[exact])
+    assert np.all(got >= want)
