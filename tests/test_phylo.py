@@ -644,3 +644,31 @@ class TestParamSweep:
         assert abs(ll_full - chain.state.log_like) < 0.05, (
             ll_full, chain.state.log_like,
         )
+
+    def test_fused_vs_sequential_statistics(self):
+        """Long-run statistical agreement between the fused device
+        iteration and the sequential per-proposal path: acceptance rates
+        and the equilibrium log-likelihood band must match (a wrong
+        Hastings sign or a broken slot map shows up here immediately)."""
+        from kgl_gene_tpu.phylo.mcmc import MCMCSampler
+
+        tree, aln, model = self._setup()
+
+        def run(pooled, seed):
+            np.random.seed(seed)
+            s = MCMCSampler(aln, ChainState(tree.copy(), model), n_chains=1,
+                            seed=seed, backend="device",
+                            pooled_sweep=pooled)
+            s.run(150, sample_freq=15)
+            c = s.cold_chain
+            rates = {k: c.accept_counts[k] / max(c.try_counts[k], 1)
+                     for k in ("branch_length", "tree_length", "state_freq",
+                               "exchangeability", "larget_simon")}
+            return rates, c.state.log_like
+
+        r_fused, ll_fused = run(True, 5)
+        r_seq, ll_seq = run(False, 6)
+        for k in r_fused:
+            assert abs(r_fused[k] - r_seq[k]) < 0.35, (k, r_fused, r_seq)
+        # both chains settle in the same log-likelihood region
+        assert abs(ll_fused - ll_seq) < 25.0, (ll_fused, ll_seq)
