@@ -961,7 +961,8 @@ class CachedPartialsLikelihood:
     def full_iteration(self, tree, model, heating_power,
                        t1, perm1, ls_slot, hp1, u1,
                        t2a, permA, newA, vlenA, hpA, u2a,
-                       t2b, permB, newB, vlenB, hpB, u2b):
+                       t2b, permB, newB, vlenB, hpB, u2b,
+                       defer_fetch: bool = False):
         """Run one FULL product-sampler iteration on device (see
         _full_iter_fn): four continuous-parameter moves + Larget-Simon +
         speculative polytomy pair, one execution, one fetch. t2a/t2b may
@@ -1011,7 +1012,7 @@ class CachedPartialsLikelihood:
         self._sweep_key, sub = jax.random.split(self._sweep_key)
         ex = np.asarray(model.exchangeabilities, np.float64)
         fn = self._full_iter_fn(c_pad, E_pad)
-        packed = np.asarray(fn(
+        handle = fn(
             ci0, ii0, n0, r0, kc0, m0, len(edges0),
             jnp.asarray(bl), jnp.asarray(model.frequencies, jnp.float32),
             jnp.asarray(ex / ex.sum(), jnp.float32),
@@ -1024,9 +1025,17 @@ class CachedPartialsLikelihood:
             float(hpA), t2a is not None, float(u2a),
             *packs[3][:6], pad_perm(permB), int(newB), float(vlenB),
             float(hpB), t2b is not None, float(u2b),
-        ))
+        )
         self._committed = None
         self._pending = None
+        if defer_fetch:
+            # multi-chain pipelining: the caller collects later so C
+            # chains' round trips overlap (MCMCSampler.run)
+            return handle, E_pad
+        return self._unpack_iteration(np.asarray(handle), E_pad)
+
+    @staticmethod
+    def _unpack_iteration(packed: np.ndarray, E_pad: int):
         off = E_pad
         flags = packed[off + 11 : off + 17] > 0.5
         return {

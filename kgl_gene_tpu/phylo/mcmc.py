@@ -393,50 +393,64 @@ class Chain:
         (they are branch-length independent), maps proposal edge slots to
         the base slots via _orig tags, and replays the returned decisions
         onto its tree/model objects. Returns False to fall back."""
-        prop1 = self._propose_larget_simon(self.state, self.rng,
-                                           annotate=True)
-        if prop1 is None:
+        prep = self._prepare_full_iteration()
+        if prep is None:
             return False
-        proposal1, h1, node1 = prop1
-        u1 = self.rng.random()
-        snapshot = self.rng.getstate()
-        rng_a = random.Random()
-        rng_a.setstate(snapshot)
-        rng_b = random.Random()
-        rng_b.setstate(snapshot)
-        pa = self._propose_polytomy(proposal1, rng_a, annotate=True)
-        pb = self._propose_polytomy(self.state, rng_b, annotate=True)
-        u2a = rng_a.random()
-        u2b = rng_b.random()
-
-        base_slots = self._edge_slot_map(self.state.tree)
-        edges1 = proposal1.tree.edges()
-        perm1 = np.zeros(len(edges1), np.int32)
-        ls_slot = 0
-        for t, e in enumerate(edges1):
-            perm1[t] = base_slots[e._orig]
-            if e is node1:
-                ls_slot = t
-        slots1 = self._edge_slot_map(proposal1.tree)
-        if pa is not None:
-            permA, newA = self._perm_of(pa[0].tree, slots1)
-            vlenA = pa[0].tree.edges()[newA].edge_length if newA >= 0 else 0.0
-            hpA = pa[1] + pa[2]
-        else:
-            permA, newA, vlenA, hpA = np.zeros(1, np.int32), -1, 0.0, 0.0
-        if pb is not None:
-            permB, newB = self._perm_of(pb[0].tree, base_slots)
-            vlenB = pb[0].tree.edges()[newB].edge_length if newB >= 0 else 0.0
-            hpB = pb[1] + pb[2]
-        else:
-            permB, newB, vlenB, hpB = np.zeros(1, np.int32), -1, 0.0, 0.0
-
+        (proposal1, perm1, ls_slot, h1, u1, pa, permA, newA, vlenA, hpA,
+         u2a, pb, permB, newB, vlenB, hpB, u2b, rng_a, rng_b) = prep
         res = self.backend.full_iteration(
             self.state.tree, self.state.model, self.heating_power,
             proposal1.tree, perm1, ls_slot, h1, u1,
             pa[0].tree if pa else None, permA, newA, vlenA, hpA, u2a,
             pb[0].tree if pb else None, permB, newB, vlenB, hpB, u2b,
         )
+        self._apply_full_iteration(res, proposal1, pa, pb, rng_a, rng_b)
+        return True
+
+    def dispatch_full_iteration(self):
+        """Pipelined form of _device_full_iteration: draw proposals and
+        ENQUEUE the fused program without fetching; returns a token for
+        collect_full_iteration, or None when the fused path is
+        unavailable (caller falls back to next_step). Used by
+        MCMCSampler.run to overlap C heated chains' round trips."""
+        if not (
+            self.pooled_sweep
+            and self.backend is not None
+            and hasattr(self.backend, "full_iteration")
+            and hasattr(self.state.model, "exchangeabilities")
+            and all(n in self.updaters for n in self._SWEEP_NAMES)
+            and "larget_simon" in self.updaters
+            and "polytomy" in self.updaters
+        ):
+            return None
+        prep = self._prepare_full_iteration()
+        if prep is None:
+            return None
+        (proposal1, perm1, ls_slot, h1, u1, pa, permA, newA, vlenA, hpA,
+         u2a, pb, permB, newB, vlenB, hpB, u2b, rng_a, rng_b) = prep
+        handle, e_pad = self.backend.full_iteration(
+            self.state.tree, self.state.model, self.heating_power,
+            proposal1.tree, perm1, ls_slot, h1, u1,
+            pa[0].tree if pa else None, permA, newA, vlenA, hpA, u2a,
+            pb[0].tree if pb else None, permB, newB, vlenB, hpB, u2b,
+            defer_fetch=True,
+        )
+        return (handle, e_pad, proposal1, pa, pb, rng_a, rng_b)
+
+    def collect_full_iteration(self, token) -> None:
+        handle, e_pad, proposal1, pa, pb, rng_a, rng_b = token
+        res = self.backend._unpack_iteration(np.asarray(handle), e_pad)
+        self._apply_full_iteration(res, proposal1, pa, pb, rng_a, rng_b)
+        # remaining (inactive-by-default) updaters still get their turn
+        for u in self.updaters:
+            if u not in self._SWEEP_NAMES + ("larget_simon", "polytomy"):
+                self._dispatch_table()[u]()
+
+    def _dispatch_table(self):
+        return {name: getattr(self, "_update_" + name)
+                for name in UPDATER_NAMES}
+
+    def _apply_full_iteration(self, res, proposal1, pa, pb, rng_a, rng_b):
         a1, a2, a3, a4, acc5, acc6 = (bool(x) for x in res["accepts"])
         for name, acc in zip(self._SWEEP_NAMES, (a1, a2, a3, a4)):
             self.try_counts[name] += 1
@@ -470,7 +484,49 @@ class Chain:
         final_state.log_like = res["log_like"]
         self.state = final_state
         self.rng.setstate((rng_a if acc5 else rng_b).getstate())
-        return True
+
+    def _prepare_full_iteration(self):
+        """Draw and slot-map the iteration's topology proposals (the
+        host half of _device_full_iteration, shared with the pipelined
+        dispatch path)."""
+        prop1 = self._propose_larget_simon(self.state, self.rng,
+                                           annotate=True)
+        if prop1 is None:
+            return None
+        proposal1, h1, node1 = prop1
+        u1 = self.rng.random()
+        snapshot = self.rng.getstate()
+        rng_a = random.Random()
+        rng_a.setstate(snapshot)
+        rng_b = random.Random()
+        rng_b.setstate(snapshot)
+        pa = self._propose_polytomy(proposal1, rng_a, annotate=True)
+        pb = self._propose_polytomy(self.state, rng_b, annotate=True)
+        u2a = rng_a.random()
+        u2b = rng_b.random()
+        base_slots = self._edge_slot_map(self.state.tree)
+        edges1 = proposal1.tree.edges()
+        perm1 = np.zeros(len(edges1), np.int32)
+        ls_slot = 0
+        for t, e in enumerate(edges1):
+            perm1[t] = base_slots[e._orig]
+            if e is node1:
+                ls_slot = t
+        slots1 = self._edge_slot_map(proposal1.tree)
+        if pa is not None:
+            permA, newA = self._perm_of(pa[0].tree, slots1)
+            vlenA = pa[0].tree.edges()[newA].edge_length if newA >= 0 else 0.0
+            hpA = pa[1] + pa[2]
+        else:
+            permA, newA, vlenA, hpA = np.zeros(1, np.int32), -1, 0.0, 0.0
+        if pb is not None:
+            permB, newB = self._perm_of(pb[0].tree, base_slots)
+            vlenB = pb[0].tree.edges()[newB].edge_length if newB >= 0 else 0.0
+            hpB = pb[1] + pb[2]
+        else:
+            permB, newB, vlenB, hpB = np.zeros(1, np.int32), -1, 0.0, 0.0
+        return (proposal1, perm1, ls_slot, h1, u1, pa, permA, newA, vlenA,
+                hpA, u2a, pb, permB, newB, vlenB, hpB, u2b, rng_a, rng_b)
 
     def _device_topo_pair(self) -> bool:
         """Pooled speculative topology pair: evaluate the Larget-Simon
@@ -678,8 +734,27 @@ class MCMCSampler:
     def run(self, iterations: int, sample_freq: int = 10,
             swap_freq: int = 5, burn_in: int = 0) -> List[Dict]:
         for it in range(1, iterations + 1):
-            for chain in self.chains:
-                chain.next_step()
+            # Pipelined heated chains: dispatch every chain's fused
+            # iteration program before collecting any — C round trips
+            # overlap into ~one (each ~30 ms on the remote tunnel).
+            tokens = []
+            if len(self.chains) > 1:
+                for chain in self.chains:
+                    tok = chain.dispatch_full_iteration()
+                    if tok is None:
+                        for c, t in zip(self.chains, tokens):
+                            c.collect_full_iteration(t)
+                        tokens = None
+                        break
+                    tokens.append(tok)
+            else:
+                tokens = None
+            if tokens is not None:
+                for chain, tok in zip(self.chains, tokens):
+                    chain.collect_full_iteration(tok)
+            else:
+                for chain in self.chains:
+                    chain.next_step()
             if it % swap_freq == 0:
                 self.swap_chains()
             if it > burn_in and it % sample_freq == 0:
