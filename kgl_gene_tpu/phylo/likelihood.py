@@ -213,10 +213,18 @@ class CachedPartialsLikelihood:
     """
 
     def __init__(self, alignment_codes: np.ndarray, n_rate_categories: int = 1,
-                 tips: Optional[jnp.ndarray] = None):
+                 tips: Optional[jnp.ndarray] = None,
+                 jit_cache: Optional[dict] = None):
         self._codes = alignment_codes
         self.n_rates = n_rate_categories
         self.n_sites = alignment_codes.shape[1]
+        # jit_cache: shared across heated chains over the SAME tips/shapes
+        # so the fused-iteration program traces once per sampler, not once
+        # per chain (the closures capture only tips + static shapes).
+        if jit_cache is not None:
+            self._jit_fiter_cache = jit_cache.setdefault("fiter", {})
+            self._jit_sweep_cache = jit_cache.setdefault("sweep", {})
+            self._jit_topo2_cache = jit_cache.setdefault("topo2", {})
         # tips may be shared across heated chains (Strom::initChains gives
         # every chain a Beagle instance over the SAME data): one device
         # copy of the (n_leaves, n_sites, 4) tip partials serves them all.

@@ -683,6 +683,7 @@ class MCMCSampler:
             else:
                 raise ValueError(f"unknown backend {backend!r}")
         shared_tips = None
+        shared_jit_cache = {}
         if use_device:
             from .likelihood import leaf_partials
 
@@ -702,6 +703,7 @@ class MCMCSampler:
                         initial.model, "n_rate_categories", 1
                     ),
                     tips=shared_tips,
+                    jit_cache=shared_jit_cache,
                 )
             self.chains.append(
                 Chain(alignment, initial.copy(), power,
