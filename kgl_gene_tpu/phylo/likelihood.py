@@ -984,13 +984,15 @@ class CachedPartialsLikelihood:
         trees = [tree, t1, t2a if t2a is not None else t1,
                  t2b if t2b is not None else tree]
         c_pad = 4
-        E_max = 4
         for t in trees:
             a = t.traversal_arrays()
             c_pad = max(c_pad, a["child_index"].shape[1])
-            E_max = max(E_max, len(t.edges()))
         c_pad = max(4, 1 << (c_pad - 1).bit_length())
-        E_pad = max(4, 1 << (E_max - 1).bit_length())
+        # E_pad is the TOPOLOGY-INDEPENDENT bound (<= 2*n_leaves edges in
+        # any rooted tree here): edge counts cross power-of-two boundaries
+        # on polytomy add/delete, and a per-count pad caused recompile
+        # flapping mid-run.
+        E_pad = max(4, 1 << (2 * self.n_leaves - 1).bit_length())
 
         packs = [self._topo_pack(t, c_pad, E_pad) for t in trees]
         (ci0, ii0, n0, r0, kc0, m0, edges0) = packs[0]
@@ -1068,7 +1070,8 @@ class CachedPartialsLikelihood:
         ci_pad, ii_pad, c_pad = self._pad_arrays(arrays)
         edges = tree.edges()
         E = len(edges)
-        E_pad = max(4, 1 << (E - 1).bit_length()) if E else 4
+        # topology-independent pad: see full_iteration
+        E_pad = max(4, 1 << (2 * self.n_leaves - 1).bit_length())
         edge_slot = {}
         for k in range(arrays["n_internals"]):
             for c in range(arrays["child_index"].shape[1]):
